@@ -1,0 +1,84 @@
+"""Test config: run all tests on a virtual 8-device CPU mesh.
+
+This is the standard JAX trick for exercising multi-device sharding and
+collectives without TPU hardware (SURVEY.md §4): force the host platform and
+split it into 8 virtual devices before jax initializes.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _install_omegaconf_stub():
+    """The reference imports omegaconf/pycocotools (not installed); stub just
+    enough to import its model modules for golden-value parity tests."""
+    if "omegaconf" not in sys.modules:
+        omegaconf = types.ModuleType("omegaconf")
+        dictconfig = types.ModuleType("omegaconf.dictconfig")
+
+        class DictConfig(dict):
+            pass
+
+        dictconfig.DictConfig = DictConfig
+        omegaconf.dictconfig = dictconfig
+        omegaconf.DictConfig = DictConfig
+        sys.modules["omegaconf"] = omegaconf
+        sys.modules["omegaconf.dictconfig"] = dictconfig
+
+    if "torchvision" not in sys.modules:
+        torchvision = types.ModuleType("torchvision")
+        tv_ops = types.ModuleType("torchvision.ops")
+
+        def _unavailable(*a, **k):
+            raise RuntimeError("torchvision stub")
+
+        tv_ops.nms = _unavailable
+        tv_ops.box_iou = _unavailable
+        torchvision.ops = tv_ops
+        sys.modules["torchvision"] = torchvision
+        sys.modules["torchvision.ops"] = tv_ops
+
+    if "pycocotools" not in sys.modules:
+        pycocotools = types.ModuleType("pycocotools")
+        coco_mod = types.ModuleType("pycocotools.coco")
+
+        class COCO:  # placeholder; parity tests never touch COCO data
+            def __init__(self, *a, **k):
+                raise RuntimeError("pycocotools stub")
+
+        coco_mod.COCO = COCO
+        pycocotools.coco = coco_mod
+        sys.modules["pycocotools"] = pycocotools
+        sys.modules["pycocotools.coco"] = coco_mod
+
+
+@pytest.fixture(scope="session")
+def reference():
+    """Import the reference PyTorch package (read-only) for golden values."""
+    if not os.path.isdir(REFERENCE_ROOT):
+        pytest.skip("reference repo not available")
+    _install_omegaconf_stub()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import vision_kit  # noqa: F401
+
+    return vision_kit
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,116 @@
+"""Fixed-shape NMS vs an independent numpy greedy reference."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from vision_kit_tpu.ops.nms import MAX_WH, batched_nms, postprocess
+
+
+def np_greedy_nms(boxes, scores, iou_thres):
+    """Straightforward O(n^2) greedy NMS in numpy (test oracle)."""
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), dtype=bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        x1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        iou = inter / np.maximum(area_i + area - inter, 1e-6)
+        suppressed |= iou > iou_thres
+    return np.array(keep, dtype=np.int64)
+
+
+def make_cands(rng, n, nc=4):
+    x1y1 = rng.uniform(0, 500, size=(n, 2))
+    wh = rng.uniform(10, 150, size=(n, 2))
+    boxes = np.concatenate([x1y1, x1y1 + wh], axis=-1).astype(np.float32)
+    scores = rng.uniform(0.01, 1.0, size=n).astype(np.float32)
+    cls = rng.integers(0, nc, size=n)
+    return boxes, scores, cls
+
+
+def test_batched_nms_matches_numpy_greedy(rng):
+    boxes, scores, cls = make_cands(rng, 200)
+    dets, valid = batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(cls),
+        iou_thres=0.5, max_det=100,
+    )
+    dets, valid = np.asarray(dets), np.asarray(valid)
+
+    off_boxes = boxes + cls[:, None].astype(np.float32) * MAX_WH
+    ref_keep = np_greedy_nms(off_boxes, scores, 0.5)[:100]
+    got = dets[valid]
+    assert len(got) == len(ref_keep)
+    # same boxes kept, in score order
+    ref_sorted = off_boxes[ref_keep][np.argsort(-scores[ref_keep])]
+    got_off = got[:, :4] + got[:, 5:6] * MAX_WH
+    np.testing.assert_allclose(got_off, ref_sorted, rtol=1e-4, atol=1e-2)
+
+
+def test_batched_nms_agnostic(rng):
+    boxes, scores, cls = make_cands(rng, 150)
+    dets, valid = batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(cls),
+        iou_thres=0.45, max_det=50, agnostic=True,
+    )
+    ref_keep = np_greedy_nms(boxes, scores, 0.45)[:50]
+    assert int(np.asarray(valid).sum()) == len(ref_keep)
+
+
+def test_postprocess_shapes_and_gate(rng):
+    b, n, nc = 2, 400, 7
+    preds = np.zeros((b, n, 5 + nc), dtype=np.float32)
+    preds[..., 0] = rng.uniform(50, 600, size=(b, n))  # cx
+    preds[..., 1] = rng.uniform(50, 600, size=(b, n))  # cy
+    preds[..., 2] = rng.uniform(10, 100, size=(b, n))  # w
+    preds[..., 3] = rng.uniform(10, 100, size=(b, n))  # h
+    preds[..., 4] = rng.uniform(0, 1, size=(b, n))     # obj
+    preds[..., 5:] = rng.uniform(0, 1, size=(b, n, nc))
+
+    dets, valid = postprocess(
+        jnp.asarray(preds), conf_thres=0.25, iou_thres=0.45,
+        max_det=30, max_cand=256,
+    )
+    assert dets.shape == (b, 30, 6)
+    assert valid.shape == (b, 30)
+    dets, valid = np.asarray(dets), np.asarray(valid)
+    # all valid rows satisfy the conf gate
+    assert (dets[valid][:, 4] > 0.25).all()
+    # class ids in range
+    assert (dets[valid][:, 5] >= 0).all() and (dets[valid][:, 5] < nc).all()
+
+
+def test_postprocess_none_pass_gate():
+    preds = np.zeros((1, 50, 10), dtype=np.float32)
+    preds[..., 4] = 0.01  # low obj
+    preds[..., 5:] = 0.5
+    dets, valid = postprocess(jnp.asarray(preds), conf_thres=0.5, max_cand=64)
+    assert int(np.asarray(valid).sum()) == 0
+
+
+def test_postprocess_multilabel_expands(rng):
+    preds = np.zeros((1, 10, 9), dtype=np.float32)  # nc=4
+    preds[..., 0] = 100; preds[..., 1] = 100
+    preds[..., 2] = 50; preds[..., 3] = 50
+    preds[0, 0, 4] = 1.0
+    preds[0, 0, 5:] = [0.9, 0.8, 0.1, 0.1]
+    # multi_label keeps both classes above threshold for the same box
+    dets, valid = postprocess(
+        jnp.asarray(preds), conf_thres=0.3, multi_label=True, max_cand=64,
+        max_det=10,
+    )
+    assert int(np.asarray(valid).sum()) == 2
+    # best-class-only keeps one
+    dets, valid = postprocess(
+        jnp.asarray(preds), conf_thres=0.3, multi_label=False, max_cand=64,
+        max_det=10,
+    )
+    assert int(np.asarray(valid).sum()) == 1

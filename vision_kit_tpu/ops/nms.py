@@ -1,0 +1,163 @@
+"""Fixed-shape, batched, class-aware NMS that runs entirely on device.
+
+TPU-native replacement for the reference's per-image Python NMS loop over
+`torchvision.ops.nms` (vision_kit/utils/image_proc.py:83-187). Same
+semantics: conf gate, obj*cls scoring, optional multi-label expansion, the
+class-offset trick (cls * max_wh added to boxes so NMS is per-class without
+batching per class), max_det cap — but expressed as one fixed-shape XLA
+program: top-k candidate selection followed by a greedy suppression solved as
+a fixed-point iteration on the upper-triangular IoU mask (score-sorted), so
+there is no host round-trip and no data-dependent shape anywhere.
+
+Outputs are padded to (batch, max_det, 6) [x1, y1, x2, y2, conf, cls] with a
+validity mask, the standard pad+mask design for TPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from vision_kit_tpu.ops.boxes import box_iou_pairwise, cxcywh_to_xyxy
+
+MAX_WH = 7680  # class-offset stride, reference image_proc.py:107
+NEG_INF = -1e9
+
+
+def _greedy_keep(iou: jnp.ndarray, iou_thres: float) -> jnp.ndarray:
+    """Greedy NMS keep-mask for score-desc-sorted boxes via fixed-point.
+
+    `iou` is (K, K). Box j is suppressed iff some kept i < j has
+    iou[i, j] > thres. Starting from all-kept, the parallel update
+        keep[j] <- not any_i (keep[i] & supp[i, j])
+    converges to the unique greedy solution in at most the length of the
+    longest suppression chain (usually < 8 for detection data); we iterate
+    with lax.while_loop until the mask stops changing.
+    """
+    k = iou.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    supp = (iou > iou_thres) & (rows < cols)  # i suppresses j (i above j)
+
+    def cond(state):
+        keep, prev, it = state
+        return jnp.logical_and(jnp.any(keep != prev), it < k)
+
+    def body(state):
+        keep, _, it = state
+        new = ~jnp.any(supp & keep[:, None], axis=0)
+        return new, keep, it + 1
+
+    keep0 = jnp.ones((k,), dtype=bool)
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (keep0, jnp.zeros((k,), dtype=bool), jnp.int32(0))
+    )
+    return keep
+
+
+def _nms_single(
+    boxes: jnp.ndarray,      # (K, 4) xyxy, score-desc sorted, class-offset applied
+    scores: jnp.ndarray,     # (K,) with invalid candidates at NEG_INF
+    raw: jnp.ndarray,        # (K, 6) output rows [xyxy, conf, cls]
+    iou_thres: float,
+    max_det: int,
+):
+    iou = box_iou_pairwise(boxes, boxes)
+    keep = _greedy_keep(iou, iou_thres)
+    valid = keep & (scores > NEG_INF / 2)
+    sel_scores = jnp.where(valid, scores, NEG_INF)
+    top_scores, top_idx = jax.lax.top_k(sel_scores, max_det)
+    out = jnp.take(raw, top_idx, axis=0)
+    out_valid = top_scores > NEG_INF / 2
+    return out, out_valid
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "conf_thres", "iou_thres", "multi_label", "agnostic", "max_det",
+        "max_cand",
+    ),
+)
+def postprocess(
+    preds: jnp.ndarray,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    multi_label: bool = False,
+    agnostic: bool = False,
+    max_det: int = 300,
+    max_cand: int = 1024,
+    classes: jnp.ndarray | None = None,
+):
+    """Decoded predictions -> padded detections.
+
+    Args:
+      preds: (B, N, 5+nc) decoded head output [cx, cy, w, h, obj, cls...]
+        in letterboxed-image pixels (the head's eval decode).
+      classes: optional (nc,) bool mask of allowed class ids.
+
+    Returns:
+      (dets, valid): dets (B, max_det, 6) rows [x1, y1, x2, y2, conf, cls],
+      valid (B, max_det) bool.
+    """
+    nc = preds.shape[2] - 5
+    n = preds.shape[1]
+    boxes_xyxy = cxcywh_to_xyxy(preds[..., :4])            # (B, N, 4)
+    cls_conf = preds[..., 5:] * preds[..., 4:5]            # obj * cls (B, N, nc)
+    if classes is not None:
+        cls_conf = jnp.where(classes[None, None, :], cls_conf, 0.0)
+
+    use_multi = multi_label and nc > 1
+    max_cand = min(max_cand, n * nc if use_multi else n)
+    max_det = min(max_det, max_cand)
+
+    def per_image(box_i, conf_i):
+        if use_multi:
+            flat = conf_i.reshape(-1)                      # (N*nc,)
+            gated = jnp.where(flat > conf_thres, flat, NEG_INF)
+            top_s, top_i = jax.lax.top_k(gated, max_cand)
+            box_idx = top_i // nc
+            cls_idx = (top_i % nc).astype(jnp.float32)
+            cand_boxes = jnp.take(box_i, box_idx, axis=0)
+        else:
+            best = jnp.max(conf_i, axis=-1)                # (N,)
+            best_cls = jnp.argmax(conf_i, axis=-1)
+            gated = jnp.where(best > conf_thres, best, NEG_INF)
+            top_s, top_i = jax.lax.top_k(gated, max_cand)
+            cls_idx = jnp.take(best_cls, top_i).astype(jnp.float32)
+            cand_boxes = jnp.take(box_i, top_i, axis=0)
+
+        offset = 0.0 if agnostic else cls_idx[:, None] * MAX_WH
+        nms_boxes = cand_boxes + offset
+        raw = jnp.concatenate(
+            [cand_boxes, top_s[:, None], cls_idx[:, None]], axis=-1
+        )
+        return _nms_single(nms_boxes, top_s, raw, iou_thres, max_det)
+
+    return jax.vmap(per_image)(boxes_xyxy, cls_conf)
+
+
+def batched_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    class_ids: jnp.ndarray,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    agnostic: bool = False,
+):
+    """Standalone NMS over already-selected candidates.
+
+    Args:
+      boxes: (K, 4) xyxy. scores: (K,). class_ids: (K,) int.
+    Returns (dets (max_det, 6), valid (max_det,)).
+    """
+    max_det = min(max_det, boxes.shape[0])
+    order = jnp.argsort(-scores)
+    boxes = jnp.take(boxes, order, axis=0)
+    scores = jnp.take(scores, order)
+    cls = jnp.take(class_ids, order).astype(jnp.float32)
+    offset = 0.0 if agnostic else cls[:, None] * MAX_WH
+    raw = jnp.concatenate([boxes, scores[:, None], cls[:, None]], axis=-1)
+    return _nms_single(boxes + offset, scores, raw, iou_thres, max_det)
