@@ -7,7 +7,10 @@ split it into 8 virtual devices before jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even though the session presets JAX_PLATFORMS=axon (the tunneled
+# TPU): unit tests must be hermetic and fast, and the virtual 8-device mesh
+# only exists on the host platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,7 +23,38 @@ import types
 import numpy as np
 import pytest
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+# The image's sitecustomize registers the remote-TPU ("axon") PJRT plugin in
+# every python process; merely having it registered makes the first jit block
+# minutes on the tunnel handshake. Deregister it for tests.
+try:
+    from jax._src import xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+except Exception:
+    pass
+
+# Persistent compilation cache: the full-model jit compiles dominate test
+# time on the single-CPU host; cache them across pytest runs.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REFERENCE_ROOT = "/root/reference"
+
+
+def reset_reference_defaults():
+    """Reference bug workaround: PAFPN mutates its mutable-default in_chs
+    list in place (pafpn.py:23-24), so constructing a second reference model
+    in one process gets corrupted channel widths. Restore the default."""
+    try:
+        import vision_kit.models.necks.pafpn as ref_pafpn
+    except Exception:
+        return
+    for d in ref_pafpn.PAFPN.__init__.__defaults__ or ():
+        if isinstance(d, list) and len(d) == 3:
+            d[:] = [256, 512, 1024]
 
 
 def _install_omegaconf_stub():

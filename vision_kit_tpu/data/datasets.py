@@ -1,0 +1,248 @@
+"""Datasets: YOLO-format (images/ + labels/*.txt) and COCO-format (json).
+
+Behavioral counterparts of vision_kit/data/datasets/{yolo,coco}.py. The
+internal sample contract matches the reference's `pull_item`:
+
+    pull_item(idx) -> (img_rgb_uint8 HWC, labels (n, 5) float32
+                       [x1, y1, x2, y2, cls] in absolute pixels,
+                       (h0, w0), idx)
+
+COCO parsing uses stdlib json (pycocotools is optional and only needed for
+the alternative mAP backend). Label caching: a .npz cache alongside the data
+dir keyed by file list hash, replacing the reference's pickle .cache
+(yolo.py:164-202) — corrupt or missing files are skipped with a warning,
+and the reference's integrity-check behaviors (bounds clamp, class filter)
+are kept. The reference's bugs (hardcoded class_ids [0..6] at yolo.py:38,
+inverted no-labels warning :188) are intentionally not replicated.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import logging
+import os
+from glob import glob
+
+import cv2
+import numpy as np
+
+logger = logging.getLogger("vision_kit_tpu")
+
+IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+def _img2label_path(img_path: str) -> str:
+    sa = os.sep + "images" + os.sep
+    sb = os.sep + "labels" + os.sep
+    base, _ = os.path.splitext(img_path.replace(sa, sb, 1))
+    return base + ".txt"
+
+
+class YOLODataset:
+    """YOLO-format dataset (reference data/datasets/yolo.py:21-299)."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        img_size=(640, 640),
+        filter_classes=(),
+        cache: bool = True,
+    ):
+        self.data_dir = data_dir
+        self.input_dim = (
+            (img_size, img_size) if isinstance(img_size, int) else tuple(img_size)
+        )
+        self.filter_classes = list(filter_classes)
+        self.img_files = sorted(
+            p
+            for p in glob(os.path.join(data_dir, "**", "*.*"), recursive=True)
+            if p.lower().endswith(IMG_EXTS) and (os.sep + "images" + os.sep) in p
+        )
+        if not self.img_files:
+            # also accept flat dirs of images with labels alongside
+            self.img_files = sorted(
+                p
+                for p in glob(os.path.join(data_dir, "*.*"))
+                if p.lower().endswith(IMG_EXTS)
+            )
+        assert self.img_files, f"No images found under {data_dir}"
+        self.labels = self._load_labels(cache)
+
+    # -- label cache ------------------------------------------------------
+    def _cache_path(self) -> str:
+        h = hashlib.md5("\n".join(self.img_files).encode()).hexdigest()[:12]
+        return os.path.join(self.data_dir, f".vk_labels_{h}.npz")
+
+    def _load_labels(self, cache: bool):
+        path = self._cache_path()
+        if cache and os.path.exists(path):
+            try:
+                with np.load(path, allow_pickle=True) as z:
+                    return list(z["labels"])
+            except Exception:
+                logger.warning("label cache unreadable, rebuilding: %s", path)
+        labels = []
+        n_missing = n_bad = 0
+        for img_path in self.img_files:
+            lp = _img2label_path(img_path)
+            rows = np.zeros((0, 5), np.float32)
+            if os.path.exists(lp):
+                try:
+                    raw = np.loadtxt(lp, ndmin=2, dtype=np.float32)
+                    if raw.size:
+                        assert raw.shape[1] == 5, f"labels need 5 cols: {lp}"
+                        assert (raw >= 0).all(), f"negative values: {lp}"
+                        assert (raw[:, 1:] <= 1).all(), (
+                            f"non-normalized coords: {lp}"
+                        )
+                        rows = raw
+                except Exception as e:  # drop bad sample's labels, keep image
+                    n_bad += 1
+                    logger.warning("bad label file %s: %s", lp, e)
+            else:
+                n_missing += 1
+            labels.append(rows)
+        if n_missing == len(self.img_files):
+            logger.warning("No labels found under %s", self.data_dir)
+        if cache:
+            try:
+                np.savez_compressed(
+                    path, labels=np.asarray(labels, dtype=object)
+                )
+            except Exception:
+                pass
+        return labels
+
+    # -- sample access ----------------------------------------------------
+    def __len__(self):
+        return len(self.img_files)
+
+    def load_image(self, idx: int):
+        img = cv2.imread(self.img_files[idx])  # BGR
+        assert img is not None, f"image unreadable: {self.img_files[idx]}"
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+    def load_anno(self, idx: int) -> np.ndarray:
+        """(n, 5) [x1, y1, x2, y2, cls] in a *resized* frame consistent with
+        pull_item (labels scale with the image)."""
+        return self.pull_item(idx)[1]
+
+    def pull_item(self, idx: int):
+        img = self.load_image(idx)
+        h0, w0 = img.shape[:2]
+        r = min(self.input_dim[0] / h0, self.input_dim[1] / w0)
+        if r != 1:
+            img = cv2.resize(
+                img,
+                (int(w0 * r), int(h0 * r)),
+                interpolation=cv2.INTER_LINEAR,
+            )
+        h, w = img.shape[:2]
+        rows = self.labels[idx]
+        out = np.zeros((len(rows), 5), np.float32)
+        if len(rows):
+            cls = rows[:, 0]
+            cx, cy, bw, bh = (rows[:, 1] * w, rows[:, 2] * h,
+                              rows[:, 3] * w, rows[:, 4] * h)
+            out[:, 0] = cx - bw / 2
+            out[:, 1] = cy - bh / 2
+            out[:, 2] = cx + bw / 2
+            out[:, 3] = cy + bh / 2
+            out[:, 4] = cls
+            if self.filter_classes:
+                keep = np.isin(out[:, 4], self.filter_classes)
+                out = out[keep]
+        return img, out, (h0, w0), idx
+
+
+class COCODataset:
+    """COCO-json dataset (reference data/datasets/coco.py:19-237), parsed
+    with stdlib json. Annotations are cleaned (x2>x1, y2>y1, area>0) and
+    pre-scaled to the load-time resize like the reference (:161-162)."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        json_file: str = "instances_train2017.json",
+        name: str = "train2017",
+        img_size=(640, 640),
+        filter_classes=(),
+    ):
+        self.data_dir = data_dir
+        self.name = name
+        self.input_dim = (
+            (img_size, img_size) if isinstance(img_size, int) else tuple(img_size)
+        )
+        ann_path = (
+            json_file
+            if os.path.isabs(json_file)
+            else os.path.join(data_dir, "annotations", json_file)
+        )
+        assert os.path.exists(ann_path), f"annotation file missing: {ann_path}"
+        with open(ann_path) as f:
+            coco = json.load(f)
+
+        cat_ids = sorted(c["id"] for c in coco.get("categories", []))
+        self.cat_ids = cat_ids
+        self.class_ids = {cid: i for i, cid in enumerate(cat_ids)}
+        self.class_names = [
+            c["name"] for c in sorted(coco.get("categories", []),
+                                      key=lambda c: c["id"])
+        ]
+
+        anns_by_img: dict[int, list] = {}
+        for a in coco.get("annotations", []):
+            if a.get("iscrowd", 0):
+                continue
+            anns_by_img.setdefault(a["image_id"], []).append(a)
+
+        self.items = []
+        for im in coco["images"]:
+            rows = []
+            for a in anns_by_img.get(im["id"], []):
+                x, y, w, h = a["bbox"]
+                x2, y2 = x + w, y + h
+                if w <= 0 or h <= 0:
+                    continue
+                cls = self.class_ids[a["category_id"]]
+                if filter_classes and cls not in filter_classes:
+                    continue
+                rows.append([x, y, x2, y2, cls])
+            self.items.append(
+                {
+                    "id": im["id"],
+                    "file_name": im["file_name"],
+                    "height": im["height"],
+                    "width": im["width"],
+                    "labels": np.asarray(rows, np.float32).reshape(-1, 5),
+                }
+            )
+
+    def __len__(self):
+        return len(self.items)
+
+    def load_anno(self, idx: int) -> np.ndarray:
+        item = self.items[idx]
+        r = min(self.input_dim[0] / item["height"],
+                self.input_dim[1] / item["width"])
+        labels = item["labels"].copy()
+        labels[:, :4] *= r
+        return labels
+
+    def pull_item(self, idx: int):
+        item = self.items[idx]
+        path = os.path.join(self.data_dir, self.name, item["file_name"])
+        img = cv2.imread(path)
+        assert img is not None, f"image unreadable: {path}"
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        h0, w0 = img.shape[:2]
+        r = min(self.input_dim[0] / h0, self.input_dim[1] / w0)
+        if r != 1:
+            img = cv2.resize(
+                img, (int(w0 * r), int(h0 * r)),
+                interpolation=cv2.INTER_LINEAR,
+            )
+        labels = item["labels"].copy()
+        labels[:, :4] *= r
+        return img, labels, (h0, w0), item["id"]

@@ -1,0 +1,212 @@
+"""Input pipeline: sharded infinite sampling, fixed-shape batching, prefetch.
+
+TPU-native replacement for the reference's torch DataLoader stack
+(data/datamodule.py + data/sampling.py): the rank-sharded seeded
+`InfiniteSampler` (sampling.py:29-84) becomes an explicit generator over
+(seed, epoch) randperm streams sharded by host process; batches are collated
+to *fixed shapes* — images (B, S, S, 3) uint8, targets padded to
+(B, MAX_LABELS, 5) rows [cls, cx, cy, w, h] normalized — so every training
+step hits the same compiled program. A background thread prefetches batches
+to overlap host augmentation with device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+from vision_kit_tpu.data.augment import TrainAugPipeline, ValAugPipeline
+from vision_kit_tpu.data.mosaic import MosaicMixupDataset
+
+MAX_LABELS = 160
+
+
+def infinite_indices(
+    n: int, seed: int = 0, shard: int = 0, num_shards: int = 1, shuffle=True
+) -> Iterator[int]:
+    """Seeded infinite index stream, strided over shards (the reference
+    InfiniteSampler semantics: rank-strided slices of per-epoch randperms,
+    sampling.py:61-81)."""
+    epoch = 0
+    while True:
+        if shuffle:
+            rng = np.random.default_rng([seed, epoch])
+            perm = rng.permutation(n)
+        else:
+            perm = np.arange(n)
+        yield from perm[shard::num_shards].tolist()
+        epoch += 1
+
+
+def pad_targets(labels_list, img_hw, max_labels=MAX_LABELS):
+    """abs-xyxy+cls label arrays -> (B, M, 5) [cls, cxn, cyn, wn, hn],
+    padded with cls = -1."""
+    b = len(labels_list)
+    h, w = img_hw
+    out = np.full((b, max_labels, 5), -1, np.float32)
+    for i, lab in enumerate(labels_list):
+        n = min(len(lab), max_labels)
+        if n == 0:
+            continue
+        lab = lab[:n]
+        out[i, :n, 0] = lab[:, 4]
+        out[i, :n, 1] = (lab[:, 0] + lab[:, 2]) / 2 / w
+        out[i, :n, 2] = (lab[:, 1] + lab[:, 3]) / 2 / h
+        out[i, :n, 3] = (lab[:, 2] - lab[:, 0]) / w
+        out[i, :n, 4] = (lab[:, 3] - lab[:, 1]) / h
+    return out
+
+
+class TrainLoader:
+    """Infinite training batches with mosaic/mixup + augmentation.
+
+    Yields {"image": (B, S, S, 3) float32 in [0,1] NHWC,
+            "targets": (B, M, 5)}.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        img_size=(640, 640),
+        aug_cfg: dict | None = None,
+        seed: int = 21,
+        shard: int = 0,
+        num_shards: int = 1,
+        max_labels: int = MAX_LABELS,
+        prefetch: int = 3,
+        no_aug: bool = False,
+    ):
+        aug = dict(aug_cfg or {})
+        self.img_size = (
+            (img_size, img_size) if isinstance(img_size, int) else tuple(img_size)
+        )
+        self.batch_size = batch_size
+        self.max_labels = max_labels
+        self.seed = seed
+        self.no_aug = no_aug
+        self.mosaic_ds = MosaicMixupDataset(
+            dataset,
+            img_size=self.img_size,
+            enable_mosaic=bool(aug.get("enable_mosaic", True)) and not no_aug,
+            enable_mixup=bool(aug.get("enable_mixup", False)) and not no_aug,
+            mosaic_prob=float(aug.get("mosaic_prob", 1.0)),
+            mixup_prob=float(aug.get("mixup_prob", 1.0)),
+            degrees=float(aug.get("degrees", 0.0)),
+            translate=float(aug.get("translate", 0.1)),
+            mosaic_scale=tuple(aug.get("mosaic_scale", (0.5, 1.5))),
+            mixup_scale=tuple(aug.get("mixup_scale", (0.5, 1.5))),
+            shear=float(aug.get("shear", 0.0)),
+        )
+        self.pipeline = TrainAugPipeline(
+            flip_lr_prob=float(aug.get("flip_lr_prob", 0.5)) if not no_aug else 0.0,
+            flip_ud_prob=float(aug.get("flip_ud_prob", 0.0)) if not no_aug else 0.0,
+            hsv_prob=float(aug.get("hsv_prob", 1.0)) if not no_aug else 0.0,
+            img_sz=self.img_size,
+        )
+        self.indices = infinite_indices(
+            len(dataset), seed=seed, shard=shard, num_shards=num_shards
+        )
+        self.steps_per_epoch = max(
+            len(dataset) // (batch_size * num_shards), 1
+        )
+        self._queue: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._started = False
+        self._count = 0
+
+    def _make_sample(self, sample_id: int, idx: int):
+        rng = np.random.default_rng([self.seed, 77, sample_id])
+        img, labels = self.mosaic_ds.getitem(rng, idx)
+        img, labels = self.pipeline(rng, img, labels)
+        return img, labels
+
+    def _make_batch(self, batch_id: int):
+        imgs, labels = [], []
+        for k in range(self.batch_size):
+            idx = next(self.indices)
+            img, lab = self._make_sample(batch_id * self.batch_size + k, idx)
+            imgs.append(img)
+            labels.append(lab)
+        images = np.stack(imgs).astype(np.float32) / 255.0
+        targets = pad_targets(labels, self.img_size, self.max_labels)
+        return {"image": images, "targets": targets}
+
+    def _worker(self):
+        bid = 0
+        while not self._stop.is_set():
+            batch = self._make_batch(bid)
+            bid += 1
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self):
+        if not self._started:
+            self._thread.start()
+            self._started = True
+        while True:
+            yield self._queue.get()
+
+    def close(self):
+        self._stop.set()
+
+
+class ValLoader:
+    """Sequential validation batches with letterbox preprocessing.
+
+    Yields {"image": (B, S, S, 3) float32, "targets": (B, M, 5),
+            "info": list of (h0, w0, ratio, pad, img_id)} — the info list is
+    what the evaluator needs to rescale detections to original frames.
+    The last partial batch is padded by repeating the final sample, with
+    "count" giving the real number.
+    """
+
+    def __init__(self, dataset, batch_size: int, img_size=(640, 640),
+                 max_labels: int = MAX_LABELS):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.img_size = (
+            (img_size, img_size) if isinstance(img_size, int) else tuple(img_size)
+        )
+        self.pipeline = ValAugPipeline(img_sz=self.img_size)
+        self.max_labels = max_labels
+
+    def __len__(self):
+        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        from vision_kit_tpu.ops.letterbox import letterbox_params
+
+        n = len(self.dataset)
+        rng = np.random.default_rng(0)  # unused by ValAugPipeline
+        for start in range(0, n, self.batch_size):
+            idxs = list(range(start, min(start + self.batch_size, n)))
+            count = len(idxs)
+            while len(idxs) < self.batch_size:
+                idxs.append(idxs[-1])
+            imgs, labels, infos = [], [], []
+            for i in idxs:
+                img, lab, (h0, w0), img_id = self.dataset.pull_item(i)
+                # dataset pre-resized by r0; letterbox the rest of the way
+                img2, lab2 = self.pipeline(rng, img, lab)
+                r0 = min(self.img_size[0] / h0, self.img_size[1] / w0)
+                _, _, r1, pad = letterbox_params(img.shape[:2], self.img_size)
+                imgs.append(img2)
+                labels.append(lab2)
+                infos.append((h0, w0, r0 * r1, pad, img_id))
+            images = np.stack(imgs).astype(np.float32) / 255.0
+            targets = pad_targets(labels, self.img_size, self.max_labels)
+            yield {
+                "image": images,
+                "targets": targets,
+                "info": infos,
+                "count": count,
+            }

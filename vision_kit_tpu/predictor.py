@@ -1,0 +1,138 @@
+"""Fused single/batch-image predictor: the whole demo hot path is ONE jitted
+XLA program — uint8 image in, final detections out.
+
+TPU-native counterpart of the reference demo path (demo/processing.py +
+scripts/demo.py): there, letterbox runs in cv2 on host, the forward on
+device, then NMS syncs device->host per image. Here letterbox (resize + pad
++ normalize), forward, sigmoid decode, class-aware NMS, and the rescale of
+boxes back to the original frame all fuse under one jit, so the only
+transfers are the input image upload and the padded (max_det, 6) result.
+
+One compile per distinct source resolution (cached); webcam/video streams
+have a single fixed resolution so this compiles once.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vision_kit_tpu.ops.letterbox import letterbox_device, letterbox_params
+from vision_kit_tpu.ops.nms import postprocess
+
+
+class Predictor:
+    def __init__(
+        self,
+        model,
+        variables,
+        img_size: int | tuple[int, int] = 640,
+        conf_thres: float = 0.25,
+        iou_thres: float = 0.45,
+        max_det: int = 300,
+        max_cand: int = 1024,
+        multi_label: bool = False,
+    ):
+        self.model = model
+        self.variables = variables
+        self.img_size = (
+            (img_size, img_size) if isinstance(img_size, int) else tuple(img_size)
+        )
+        self.conf_thres = conf_thres
+        self.iou_thres = iou_thres
+        self.max_det = max_det
+        self.max_cand = max_cand
+        self.multi_label = multi_label
+        self._fns: dict = {}
+
+    def _build(self, src_hw: tuple[int, int]):
+        """Compile the fused program for one source resolution."""
+        dst = self.img_size
+        _, _, ratio, pad = letterbox_params(src_hw, dst)
+
+        @jax.jit
+        def run(img_u8):
+            x, _ = letterbox_device(img_u8, dst)
+            decoded, _ = self.model.apply(
+                self.variables, x[None], training=False
+            )
+            dets, valid = postprocess(
+                decoded,
+                conf_thres=self.conf_thres,
+                iou_thres=self.iou_thres,
+                multi_label=self.multi_label,
+                max_det=self.max_det,
+                max_cand=self.max_cand,
+            )
+            # rescale to the original frame inside the same program
+            boxes = dets[..., :4]
+            boxes = (boxes - jnp.array([pad[0], pad[1], pad[0], pad[1]])) / ratio
+            h0, w0 = src_hw
+            boxes = jnp.clip(
+                boxes,
+                jnp.array([0.0, 0.0, 0.0, 0.0]),
+                jnp.array([w0, h0, w0, h0]),
+            )
+            dets = jnp.concatenate([boxes, dets[..., 4:]], axis=-1)
+            return dets[0], valid[0]
+
+        return run
+
+    def warmup(self, src_hw: tuple[int, int]):
+        fn = self._fns.get(src_hw)
+        if fn is None:
+            fn = self._fns[src_hw] = self._build(src_hw)
+        dummy = jnp.zeros((*src_hw, 3), jnp.uint8)
+        jax.block_until_ready(fn(dummy))
+        return fn
+
+    def __call__(self, img_rgb: np.ndarray):
+        """img_rgb: HWC uint8. Returns (dets (n, 6) np [xyxy conf cls],
+        elapsed_ms)."""
+        src_hw = img_rgb.shape[:2]
+        fn = self._fns.get(src_hw)
+        if fn is None:
+            fn = self.warmup(src_hw)
+        t0 = time.perf_counter()
+        dets, valid = fn(jnp.asarray(img_rgb))
+        dets = np.asarray(dets)
+        valid = np.asarray(valid)
+        ms = (time.perf_counter() - t0) * 1000
+        return dets[valid], ms
+
+
+def load_predictor_from_config(cfg, weights: str | None = None, **kwargs):
+    """Build model + variables from a config (+ optional .pt/.npz weights)."""
+    from vision_kit_tpu.models import build_model
+
+    model = build_model(cfg)
+    size = tuple(cfg.model.input_size)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, *size, 3)), training=False
+    )
+    if weights:
+        variables = load_weights(weights, variables)
+    return Predictor(model, variables, img_size=size, **kwargs)
+
+
+def load_weights(path: str, template):
+    """Load .pt (torch) or .npz/orbax weights into the variables template."""
+    if path.endswith((".pt", ".pth", ".ckpt")):
+        from vision_kit_tpu.convert import load_torch_checkpoint, torch_to_flax
+
+        return torch_to_flax(load_torch_checkpoint(path), template=template)
+    if path.endswith(".msgpack"):
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            return serialization.from_bytes(template, f.read())
+    # orbax checkpoint dir
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, template)
