@@ -27,9 +27,11 @@ class EMAState(NamedTuple):
 
 
 def ema_init(tree) -> EMAState:
+    # copy=True: the EMA must own distinct buffers, otherwise donating a
+    # TrainState donates the same buffer twice (params and ema alias).
     return EMAState(
         updates=jnp.zeros((), jnp.int32),
-        tree=jax.tree_util.tree_map(jnp.asarray, tree),
+        tree=jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), tree),
     )
 
 
