@@ -1,0 +1,76 @@
+"""Benchmark: YOLOv5s@640 batched inference throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "yolov5s_640_images_per_sec", "value": N, "unit": "img/s",
+   "vs_baseline": N}
+
+vs_baseline is measured / (3 x A100 images/sec): the BASELINE.json north star
+is ">3x A100 images/sec on one v5e chip". The reference publishes no numbers
+(BASELINE.md), so the A100 anchor is the public ultralytics YOLOv5s@640
+PyTorch FP16 batch-32 figure (~900 img/s on A100); vs_baseline >= 1.0 meets
+the target.
+
+The measured program is the full device-side inference path: forward +
+decode + fixed-shape NMS in one jit (bf16 compute, fp32 params), steady
+state over multiple iterations with host-sync timing.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+A100_IMAGES_PER_SEC = 900.0  # public ultralytics anchor (see docstring)
+TARGET = 3.0 * A100_IMAGES_PER_SEC
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vision_kit_tpu.models import YOLOV5
+    from vision_kit_tpu.ops.nms import postprocess
+
+    batch = 32
+    size = 640
+    model = YOLOV5(variant="s", num_classes=80, dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), training=False
+    )
+
+    @jax.jit
+    def infer(images):
+        decoded, _ = model.apply(variables, images, training=False)
+        return postprocess(
+            decoded.astype(jnp.float32),
+            conf_thres=0.25, iou_thres=0.45, max_det=300, max_cand=1024,
+        )
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.uniform(0, 1, (batch, size, size, 3)).astype(np.float32)
+    )
+
+    # warmup / compile
+    jax.block_until_ready(infer(images))
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(images)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "yolov5s_640_images_per_sec",
+        "value": round(images_per_sec, 2),
+        "unit": "img/s",
+        "vs_baseline": round(images_per_sec / TARGET, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

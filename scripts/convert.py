@@ -1,0 +1,63 @@
+"""Weight converter CLI: torch `.pt`/`.ckpt` -> flax `.msgpack`.
+
+Counterpart of reference scripts/convert.py. The reference pulls upstream
+ultralytics/WongKinYiu weights via torch.hub and zip-maps state_dict keys by
+declaration order (convert.py:22-23); this environment has no network, so
+this tool converts *local* checkpoint files, using the structural key
+translation in vision_kit_tpu.convert (OIHW->HWIO transpose, BN split,
+anchor-buffer drop) with full shape checking.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser("vision-kit-tpu weight converter")
+    parser.add_argument("weights", type=str, help=".pt/.ckpt file to convert")
+    parser.add_argument("--model", "-m", type=str, default="yolov5",
+                        choices=["yolov5", "yolov7"])
+    parser.add_argument("--variant", "-v", type=str, default="s")
+    parser.add_argument("--num-classes", "-n", type=int, default=80)
+    parser.add_argument("--output", "-o", type=str, default=None)
+    parser.add_argument("--reparameterize", action="store_true",
+                        help="fold v7 implicit layers into head convs")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from vision_kit_tpu.convert import (
+        load_torch_checkpoint,
+        reparameterize_v7,
+        torch_to_flax,
+    )
+    from vision_kit_tpu.models import YOLOV5, YOLOV7
+
+    if args.model == "yolov5":
+        model = YOLOV5(variant=args.variant, num_classes=args.num_classes)
+    else:
+        model = YOLOV7(variant=args.variant, num_classes=args.num_classes,
+                       deploy=False)
+    template = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=False
+    )
+    sd = load_torch_checkpoint(args.weights)
+    variables = torch_to_flax(sd, template=template)
+    if args.reparameterize and args.model == "yolov7":
+        variables = reparameterize_v7(variables, args.num_classes)
+
+    out = args.output or os.path.splitext(args.weights)[0] + ".msgpack"
+    with open(out, "wb") as f:
+        f.write(serialization.to_bytes(variables))
+    print(f"converted {args.weights} -> {out}")
+
+
+if __name__ == "__main__":
+    main()

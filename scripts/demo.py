@@ -1,0 +1,118 @@
+"""Demo: image / video / webcam inference with the fused one-program
+predictor (counterpart of reference scripts/demo.py -p -m -v -w CLI).
+
+Per-frame timing prints the single fused number (the reference prints
+pre/inf/post separately — here all three stages are one XLA program, which
+is the point)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import cv2
+import numpy as np
+
+
+def load_model(model_name: str, variant: str, weights: str | None,
+               num_classes: int = 80):
+    import jax
+    import jax.numpy as jnp
+
+    from vision_kit_tpu.models import YOLOV5, YOLOV7
+    from vision_kit_tpu.predictor import load_weights
+
+    if model_name == "yolov5":
+        model = YOLOV5(variant=variant, num_classes=num_classes)
+    elif model_name == "yolov7":
+        model = YOLOV7(variant=variant, num_classes=num_classes, deploy=True)
+    else:
+        raise ValueError(model_name)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 640, 640, 3)), training=False
+    )
+    if weights:
+        variables = load_weights(weights, variables)
+    return model, variables
+
+
+def main():
+    from vision_kit_tpu.classes import COCO
+    from vision_kit_tpu.predictor import Predictor
+    from vision_kit_tpu.utils.drawing import Drawing
+
+    parser = argparse.ArgumentParser("vision-kit-tpu demo")
+    parser.add_argument("--path", "-p", type=str, required=True,
+                        help="image/video path or webcam index")
+    parser.add_argument("--model", "-m", type=str, default="yolov5",
+                        choices=["yolov5", "yolov7"])
+    parser.add_argument("--variant", "-v", type=str, default="s")
+    parser.add_argument("--weights", "-w", type=str, default=None)
+    parser.add_argument("--conf", type=float, default=0.25)
+    parser.add_argument("--iou", type=float, default=0.45)
+    parser.add_argument("--output", "-o", type=str, default=None)
+    parser.add_argument("--show", action="store_true")
+    args = parser.parse_args()
+
+    model, variables = load_model(args.model, args.variant, args.weights)
+    predictor = Predictor(
+        model, variables, conf_thres=args.conf, iou_thres=args.iou
+    )
+    drawer = Drawing(COCO)
+
+    is_image = args.path.lower().endswith(
+        (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+    )
+    if is_image:
+        bgr = cv2.imread(args.path)
+        assert bgr is not None, f"cannot read {args.path}"
+        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        predictor.warmup(rgb.shape[:2])
+        dets, ms = predictor(rgb)
+        print(f"{len(dets)} detections in {ms:.2f} ms (fused e2e)")
+        out = drawer.draw(bgr, dets)
+        out_path = args.output or os.path.splitext(args.path)[0] + "_out.jpg"
+        cv2.imwrite(out_path, out)
+        print(f"saved {out_path}")
+    else:
+        src = int(args.path) if args.path.isdigit() else args.path
+        cap = cv2.VideoCapture(src)
+        assert cap.isOpened(), f"cannot open {args.path}"
+        writer = None
+        n, total_ms = 0, 0.0
+        while True:
+            ok, bgr = cap.read()
+            if not ok:
+                break
+            rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+            dets, ms = predictor(rgb)
+            n += 1
+            total_ms += ms
+            out = drawer.draw(bgr, dets)
+            if args.output:
+                if writer is None:
+                    writer = cv2.VideoWriter(
+                        args.output, cv2.VideoWriter_fourcc(*"mp4v"),
+                        cap.get(cv2.CAP_PROP_FPS) or 30,
+                        (out.shape[1], out.shape[0]),
+                    )
+                writer.write(out)
+            if args.show:
+                cv2.imshow("vision-kit-tpu", out)
+                if cv2.waitKey(1) & 0xFF == ord("q"):
+                    break
+            if n % 30 == 0:
+                print(f"frame {n}: {ms:.1f} ms ({1000 * n / total_ms:.1f} fps avg)")
+        cap.release()
+        if writer:
+            writer.release()
+        if n:
+            print(f"avg {total_ms / n:.2f} ms/frame over {n} frames")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Entry point: train / eval / export (counterpart of reference
+scripts/main.py — same CLI surface: task, --config, --ckpt-dir, --seed).
+
+Export writes TPU-native artifacts instead of ONNX/TorchScript (neither is
+available nor idiomatic here): StableHLO text of the jitted fixed-shape
+inference program + flax msgpack weights.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vision_kit_tpu.utils.config import load_config
+from vision_kit_tpu.utils.general import mk_output_dir, update_loss_cfg
+from vision_kit_tpu.utils.logging_utils import logger, setup_logger
+
+
+def main(cfg, opt):
+    import jax
+
+    from vision_kit_tpu.train.evaluator import DetEvaluator
+    from vision_kit_tpu.train.trainer import Trainer
+
+    cfg = update_loss_cfg(cfg)
+    evaluator = DetEvaluator(
+        class_labels=list(cfg.data.class_labels),
+        img_size=tuple(cfg.model.input_size),
+    )
+
+    ckpt_path = None
+    if opt.ckpt_dir:
+        name = "last" if opt.task == "train" else "best"
+        ckpt_path = os.path.join(opt.ckpt_dir, name)
+
+    if opt.task == "train":
+        trainer = Trainer(cfg, evaluator=evaluator)
+        logger.info("Start Training...")
+        trainer.fit(resume=ckpt_path)
+        trainer.test()
+    elif opt.task == "eval":
+        trainer = Trainer(cfg, evaluator=evaluator)
+        if ckpt_path and os.path.exists(ckpt_path):
+            trainer.load_checkpoint(ckpt_path)
+        trainer.test()
+    elif opt.task == "export":
+        import jax.numpy as jnp
+        from flax import serialization
+
+        from vision_kit_tpu.models import build_model
+
+        model = build_model(cfg, export=True)
+        size = tuple(cfg.model.input_size)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, *size, 3)), training=False
+        )
+        if ckpt_path and os.path.exists(ckpt_path):
+            from vision_kit_tpu.predictor import load_weights
+
+            variables = load_weights(ckpt_path, variables)
+        weight = getattr(cfg.model, "weight", None)
+        if weight and os.path.exists(str(weight)):
+            from vision_kit_tpu.predictor import load_weights
+
+            variables = load_weights(str(weight), variables)
+
+        save_dir = os.path.join(cfg.data.output_dir, "weights")
+        os.makedirs(save_dir, exist_ok=True)
+        stem = f"{cfg.model.name.lower()}_{cfg.model.version}"
+
+        with open(os.path.join(save_dir, stem + ".msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(variables))
+
+        def forward(images):
+            (decoded,) = model.apply(variables, images, training=False)
+            return decoded
+
+        lowered = jax.jit(forward).lower(
+            jax.ShapeDtypeStruct((1, *size, 3), jnp.float32)
+        )
+        with open(os.path.join(save_dir, stem + ".stablehlo.mlir"), "w") as f:
+            f.write(lowered.as_text())
+        logger.info("exported msgpack weights + StableHLO to %s", save_dir)
+    else:
+        raise ValueError(opt.task)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="vision-kit-tpu train/eval/export")
+    parser.add_argument("task", type=str, choices=["train", "eval", "export"])
+    parser.add_argument("--config", "-c", type=str,
+                        default="./configs/yolov5.yaml")
+    parser.add_argument("--ckpt-dir", "-d", type=str, default=None)
+    parser.add_argument("--seed", "-s", type=int, default=21)
+    opt = parser.parse_args()
+
+    import numpy as np
+
+    np.random.seed(opt.seed)
+
+    cfg = load_config(opt.config)
+    output_dir = mk_output_dir(cfg.data.output_dir, cfg.model.name, opt.task)
+    setup_logger(output_dir)
+    cfg.data.output_dir = output_dir
+    logger.info("Global seed set to %d", opt.seed)
+    main(cfg, opt)

@@ -82,9 +82,27 @@ def _install_omegaconf_stub():
 
         tv_ops.nms = _unavailable
         tv_ops.box_iou = _unavailable
+        tv_boxes = types.ModuleType("torchvision.ops.boxes")
+
+        def _torch_box_iou(a, b):
+            """Minimal torch pairwise IoU for reference golden paths."""
+            import torch
+
+            lt = torch.max(a[:, None, :2], b[None, :, :2])
+            rb = torch.min(a[:, None, 2:], b[None, :, 2:])
+            wh = (rb - lt).clamp(min=0)
+            inter = wh[..., 0] * wh[..., 1]
+            area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+            area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+            return inter / (area_a[:, None] + area_b[None, :] - inter)
+
+        tv_boxes.box_iou = _torch_box_iou
+        tv_ops.box_iou = _torch_box_iou
+        tv_ops.boxes = tv_boxes
         torchvision.ops = tv_ops
         sys.modules["torchvision"] = torchvision
         sys.modules["torchvision.ops"] = tv_ops
+        sys.modules["torchvision.ops.boxes"] = tv_boxes
 
     if "pycocotools" not in sys.modules:
         pycocotools = types.ModuleType("pycocotools")

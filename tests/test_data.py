@@ -1,0 +1,144 @@
+"""Data pipeline tests: synthetic YOLO-format dataset -> loaders -> batches,
+mosaic/affine label round-trips, evaluator sanity."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from vision_kit_tpu.data.augment import (
+    TrainAugPipeline,
+    ValAugPipeline,
+    flip_lr,
+    random_affine,
+)
+from vision_kit_tpu.data.datasets import YOLODataset
+from vision_kit_tpu.data.loader import TrainLoader, ValLoader, infinite_indices, pad_targets
+from vision_kit_tpu.data.mosaic import MosaicMixupDataset
+
+
+@pytest.fixture(scope="module")
+def yolo_dir(tmp_path_factory):
+    """Synthetic dataset: colored rectangles with matching labels."""
+    root = tmp_path_factory.mktemp("yolo_ds")
+    img_dir = root / "images"
+    lbl_dir = root / "labels"
+    img_dir.mkdir()
+    lbl_dir.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(8):
+        h, w = int(rng.integers(200, 400)), int(rng.integers(200, 400))
+        img = np.full((h, w, 3), 64, np.uint8)
+        rows = []
+        for b in range(int(rng.integers(1, 4))):
+            bw, bh = int(rng.integers(30, 80)), int(rng.integers(30, 80))
+            x1 = int(rng.integers(0, w - bw))
+            y1 = int(rng.integers(0, h - bh))
+            cls = int(rng.integers(0, 3))
+            img[y1:y1 + bh, x1:x1 + bw] = (200, 50 * cls, 100)
+            rows.append(
+                f"{cls} {(x1 + bw / 2) / w:.6f} {(y1 + bh / 2) / h:.6f} "
+                f"{bw / w:.6f} {bh / h:.6f}"
+            )
+        cv2.imwrite(str(img_dir / f"im{i}.jpg"), img)
+        (lbl_dir / f"im{i}.txt").write_text("\n".join(rows))
+    return str(root)
+
+
+def test_yolo_dataset_loads(yolo_dir):
+    ds = YOLODataset(yolo_dir, img_size=320)
+    assert len(ds) == 8
+    img, labels, (h0, w0), idx = ds.pull_item(0)
+    assert img.ndim == 3 and img.dtype == np.uint8
+    assert labels.shape[1] == 5
+    # labels inside resized image bounds
+    h, w = img.shape[:2]
+    assert (labels[:, [0, 2]] <= w + 1).all()
+    assert (labels[:, [1, 3]] <= h + 1).all()
+    assert (labels[:, :4] >= -1).all()
+
+
+def test_label_cache_roundtrip(yolo_dir):
+    ds1 = YOLODataset(yolo_dir, img_size=320, cache=True)
+    ds2 = YOLODataset(yolo_dir, img_size=320, cache=True)  # from cache
+    for a, b in zip(ds1.labels, ds2.labels):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_random_affine_identity():
+    rng = np.random.default_rng(0)
+    img = np.full((100, 100, 3), 50, np.uint8)
+    labels = np.array([[10.0, 20.0, 40.0, 60.0, 1.0]], np.float32)
+    out_img, out_labels = random_affine(
+        rng, img, labels, target_size=(100, 100),
+        degrees=0.0, translate=0.0, scales=(1.0, 1.0), shear=0.0,
+    )
+    np.testing.assert_allclose(out_labels[:, :4], labels[:, :4], atol=1e-3)
+    assert out_img.shape == (100, 100, 3)
+
+
+def test_flip_lr_roundtrip():
+    img = np.zeros((50, 80, 3), np.uint8)
+    labels = np.array([[10.0, 5.0, 30.0, 25.0, 0.0]], np.float32)
+    img2, lab2 = flip_lr(img, labels)
+    img3, lab3 = flip_lr(img2, lab2)
+    np.testing.assert_allclose(lab3, labels)
+
+
+def test_mosaic_output_shape(yolo_dir):
+    ds = YOLODataset(yolo_dir, img_size=320)
+    mds = MosaicMixupDataset(ds, img_size=320, enable_mixup=True)
+    rng = np.random.default_rng(5)
+    img, labels = mds.getitem(rng, 0)
+    assert img.shape == (320, 320, 3)
+    if len(labels):
+        assert (labels[:, :4] >= 0).all()
+        assert (labels[:, [0, 2]] <= 320).all()
+        assert (labels[:, [1, 3]] <= 320).all()
+
+
+def test_infinite_indices_sharding():
+    a = [next(g) for g in [infinite_indices(10, seed=1, shard=0, num_shards=2)] for _ in range(10)]
+    b_gen = infinite_indices(10, seed=1, shard=1, num_shards=2)
+    b = [next(b_gen) for _ in range(10)]
+    # two shards of the same epoch cover disjoint halves
+    assert set(a[:5]).isdisjoint(set(b[:5]))
+    assert set(a[:5]) | set(b[:5]) == set(range(10))
+
+
+def test_pad_targets():
+    labels = [
+        np.array([[0.0, 0.0, 64.0, 64.0, 2.0]], np.float32),
+        np.zeros((0, 5), np.float32),
+    ]
+    t = pad_targets(labels, (128, 128), max_labels=4)
+    assert t.shape == (2, 4, 5)
+    assert t[0, 0, 0] == 2.0
+    np.testing.assert_allclose(t[0, 0, 1:], [0.25, 0.25, 0.5, 0.5])
+    assert (t[1] == -1).all()
+    assert (t[0, 1:] == -1).all()
+
+
+def test_train_loader_batches(yolo_dir):
+    ds = YOLODataset(yolo_dir, img_size=128)
+    loader = TrainLoader(ds, batch_size=4, img_size=128, prefetch=1,
+                         aug_cfg={"enable_mosaic": True, "mosaic_prob": 1.0})
+    it = iter(loader)
+    batch = next(it)
+    assert batch["image"].shape == (4, 128, 128, 3)
+    assert batch["image"].dtype == np.float32
+    assert 0.0 <= batch["image"].min() and batch["image"].max() <= 1.0
+    assert batch["targets"].shape[0] == 4 and batch["targets"].shape[2] == 5
+    loader.close()
+
+
+def test_val_loader_batches(yolo_dir):
+    ds = YOLODataset(yolo_dir, img_size=128)
+    loader = ValLoader(ds, batch_size=3, img_size=128)
+    batches = list(loader)
+    assert len(batches) == 3  # 8 samples in batches of 3
+    assert batches[-1]["count"] == 2
+    for b in batches:
+        assert b["image"].shape == (3, 128, 128, 3)
+        assert len(b["info"]) == 3

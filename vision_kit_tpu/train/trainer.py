@@ -1,0 +1,287 @@
+"""Host-side training orchestration: the thin imperative loop around the
+jitted train/eval steps.
+
+Counterpart of the reference's Lightning stack (core/train/det_trainer.py +
+scripts/main.py pl.Trainer config): epochs over an infinite sharded loader,
+val every `val_interval` epochs with EMA weights, best/last checkpoints
+monitored on mAP@.5, early stopping (patience 5), sample-grid images, rich
+per-class tables, TensorBoard scalars. All device work happens inside the
+two compiled step functions; this loop only feeds numpy batches and logs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+
+from vision_kit_tpu.parallel.mesh import make_mesh, replicated_sharding, shard_batch
+from vision_kit_tpu.train.evaluator import DetEvaluator
+from vision_kit_tpu.train.losses import YoloLoss
+from vision_kit_tpu.train.optim import make_optimizer
+from vision_kit_tpu.train.step import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from vision_kit_tpu.utils.logging_utils import logger
+from vision_kit_tpu.utils.table import RichTable
+
+
+class Trainer:
+    def __init__(self, cfg, evaluator: DetEvaluator | None = None,
+                 mesh=None, use_tensorboard: bool = True):
+        import jax.numpy as jnp
+
+        from vision_kit_tpu.models import build_model
+
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        self.img_size = tuple(cfg.model.input_size)
+        self.max_epochs = int(cfg.data.max_epochs)
+        self.val_interval = int(cfg.testing.val_interval)
+        self.output_dir = cfg.data.output_dir
+        os.makedirs(os.path.join(self.output_dir, "ckpts"), exist_ok=True)
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        n_data = self.mesh.shape["data"]
+        self.batch_size = int(cfg.data.batch_size)
+        if self.batch_size % n_data:
+            self.batch_size = max(self.batch_size // n_data, 1) * n_data
+
+        # data
+        self.train_loader, self.val_loader = self._build_loaders()
+        steps_per_epoch = self.train_loader.steps_per_epoch
+
+        # model/optimizer/loss
+        variables = self.model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, *self.img_size, 3)),
+            training=False,
+        )
+        weight = getattr(cfg.model, "weight", None)
+        if weight and os.path.exists(str(weight)):
+            from vision_kit_tpu.predictor import load_weights
+
+            try:
+                variables = load_weights(str(weight), variables)
+                logger.info("loaded pretrained weights from %s", weight)
+            except Exception as e:
+                logger.warning("pretrained load failed (%s); training from scratch", e)
+
+        cosine = cfg.model.name == "YOLOv7"
+        self.tx = make_optimizer(
+            variables["params"], dict(cfg.hypermeters), self.max_epochs,
+            steps_per_epoch, cosine=cosine,
+        )
+        self.loss = YoloLoss(
+            int(cfg.model.num_classes), self.model.grid_anchors,
+            dict(cfg.hypermeters),
+        )
+        self.state = jax.device_put(
+            create_train_state(self.model, variables, self.tx),
+            replicated_sharding(self.mesh),
+        )
+        self.train_step = make_train_step(
+            self.model, self.loss, self.tx, mesh=self.mesh
+        )
+        self.eval_step = make_eval_step(
+            self.model, mesh=self.mesh,
+            postprocess_kwargs=dict(
+                conf_thres=float(cfg.testing.conf_thresh),
+                iou_thres=float(cfg.testing.iou_thresh),
+            ),
+        )
+        self.evaluator = evaluator or DetEvaluator(
+            list(cfg.data.class_labels), self.img_size
+        )
+        self.steps_per_epoch = steps_per_epoch
+        self.best_map50 = -1.0
+        self.epochs_no_improve = 0
+        self.patience = 5
+
+        self.tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tb = SummaryWriter(os.path.join(self.output_dir, "tb"))
+            except Exception:
+                self.tb = None
+
+    # -- data -------------------------------------------------------------
+    def _build_loaders(self):
+        from vision_kit_tpu.data.datasets import COCODataset, YOLODataset
+        from vision_kit_tpu.data.loader import TrainLoader, ValLoader
+
+        cfg = self.cfg
+        fmt = cfg.data.data_format
+        if fmt == "yolo":
+            train_ds = YOLODataset(
+                os.path.join(cfg.data.data_dir, cfg.data.train_path),
+                img_size=self.img_size,
+                filter_classes=list(cfg.data.filter_classes or []),
+            )
+            val_ds = YOLODataset(
+                os.path.join(cfg.data.data_dir, cfg.data.val_path),
+                img_size=self.img_size,
+                filter_classes=list(cfg.data.filter_classes or []),
+            )
+        elif fmt == "coco":
+            train_ds = COCODataset(
+                cfg.data.data_dir, json_file="instances_train2017.json",
+                name=cfg.data.train_path, img_size=self.img_size,
+            )
+            val_ds = COCODataset(
+                cfg.data.data_dir, json_file="instances_val2017.json",
+                name=cfg.data.val_path, img_size=self.img_size,
+            )
+        else:
+            raise ValueError(f"unknown data_format {fmt!r}")
+
+        train_loader = TrainLoader(
+            train_ds, self.batch_size, img_size=self.img_size,
+            aug_cfg=dict(self.cfg.augmentations),
+            shard=jax.process_index(), num_shards=jax.process_count(),
+        )
+        val_loader = ValLoader(val_ds, self.batch_size, img_size=self.img_size)
+        return train_loader, val_loader
+
+    # -- checkpointing ----------------------------------------------------
+    def save_checkpoint(self, name: str, epoch: int):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.output_dir, "ckpts", name))
+        ckptr = ocp.StandardCheckpointer()
+        state = jax.device_get(self.state)
+        ckptr.save(path, state, force=True)
+        ckptr.wait_until_finished()
+        with open(path + ".meta.json", "w") as f:
+            json.dump({"epoch": epoch, "best_map50": self.best_map50}, f)
+
+    def load_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(
+            os.path.abspath(path), jax.device_get(self.state)
+        )
+        self.state = jax.device_put(
+            TrainState(*restored) if not isinstance(restored, TrainState)
+            else restored,
+            replicated_sharding(self.mesh),
+        )
+        meta_path = path + ".meta.json"
+        epoch = 0
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            epoch = int(meta.get("epoch", 0))
+            self.best_map50 = float(meta.get("best_map50", -1.0))
+        return epoch
+
+    # -- loops ------------------------------------------------------------
+    def fit(self, resume: str | None = None):
+        start_epoch = 0
+        if resume:
+            start_epoch = self.load_checkpoint(resume) + 1
+            logger.info("resumed from %s at epoch %d", resume, start_epoch)
+
+        it = iter(self.train_loader)
+        first_batch_saved = False
+        for epoch in range(start_epoch, self.max_epochs):
+            t0 = time.time()
+            losses = []
+            for step in range(self.steps_per_epoch):
+                batch = next(it)
+                if not first_batch_saved:
+                    self._save_grid(batch, "train")
+                    first_batch_saved = True
+                sharded = shard_batch(self.mesh, batch)
+                self.state, metrics = self.train_step(self.state, sharded)
+                losses.append(metrics)
+            # one sync per epoch
+            losses = jax.device_get(losses[-1])
+            dt = time.time() - t0
+            logger.info(
+                "epoch %d/%d loss %.4f (box %.4f obj %.4f cls %.4f) "
+                "%.1fs %.1f img/s",
+                epoch + 1, self.max_epochs, float(losses["loss"]),
+                float(losses["loss_box"]), float(losses["loss_obj"]),
+                float(losses["loss_cls"]), dt,
+                self.steps_per_epoch * self.batch_size / dt,
+            )
+            if self.tb:
+                self.tb.add_scalar("loss", float(losses["loss"]), epoch)
+
+            if (epoch + 1) % self.val_interval == 0:
+                result = self.validate()
+                map50 = result["map50"]
+                logger.info(
+                    "epoch %d mAP@.5 %.4f mAP@.5:.95 %.4f",
+                    epoch + 1, map50, result["map50_95"],
+                )
+                if self.tb:
+                    self.tb.add_scalar("mAP@.5", map50, epoch)
+                    self.tb.add_scalar("mAP@.5:.95", result["map50_95"], epoch)
+                if map50 > self.best_map50:
+                    self.best_map50 = map50
+                    self.epochs_no_improve = 0
+                    self.save_checkpoint("best", epoch)
+                else:
+                    self.epochs_no_improve += 1
+            self.save_checkpoint("last", epoch)
+            if self.epochs_no_improve >= self.patience:
+                logger.info(
+                    "early stopping: no mAP@.5 improvement in %d validations",
+                    self.patience,
+                )
+                break
+        self.train_loader.close()
+
+    def validate(self):
+        self.evaluator.reset()
+        for batch in self.val_loader:
+            dets, valid = self.eval_step(
+                self.state, shard_batch(self.mesh, batch)["image"]
+            )
+            self.evaluator.update(
+                dets, valid, batch["targets"], batch["info"], batch["count"]
+            )
+        return self.evaluator.summarize()
+
+    def test(self):
+        result = self.validate()
+        table = RichTable("Details Per Class")
+        table.add_headers(
+            ["Class", "Images", "Num_Targets", "Precision", "Recall",
+             "mAP@.5", "mAP@.5:.95"]
+        )
+        table.add_content([
+            [r["class"], r["images"], r["targets"],
+             round(r["precision"], 3), round(r["recall"], 3),
+             round(r["ap50"], 3), round(r["ap"], 3)]
+            for r in result["per_class"]
+        ])
+        logger.info("\n%s", table.table)
+        logger.info(
+            "mAP@.5 %.4f  mAP@.5:.95 %.4f", result["map50"],
+            result["map50_95"],
+        )
+        return result
+
+    def _save_grid(self, batch, split):
+        try:
+            from vision_kit_tpu.utils.drawing import grid_save
+
+            grid_save(
+                batch["image"], batch["targets"],
+                os.path.join(self.output_dir, f"{split}.jpg"),
+            )
+        except Exception as e:
+            logger.warning("sample grid save failed: %s", e)
