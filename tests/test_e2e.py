@@ -1,0 +1,124 @@
+"""End-to-end slices: fused predictor on a real image, tiny train->val->ckpt
+cycle through the Trainer, export path."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vision_kit_tpu.models import YOLOV5
+from vision_kit_tpu.predictor import Predictor
+
+BUS = "/root/reference/assets/bus.jpg"
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = YOLOV5(variant="n", num_classes=80)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 192, 192, 3)), training=False
+    )
+    return model, variables
+
+
+def test_predictor_fused_pipeline(tiny_model):
+    model, variables = tiny_model
+    if not os.path.exists(BUS):
+        pytest.skip("bus.jpg not available")
+    bgr = cv2.imread(BUS)
+    rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+    pred = Predictor(model, variables, img_size=192, conf_thres=0.01,
+                     max_cand=256, max_det=50)
+    dets, ms = pred(rgb)
+    assert dets.ndim == 2 and dets.shape[1] == 6
+    # boxes are inside the ORIGINAL frame (rescale fused into the program)
+    h, w = rgb.shape[:2]
+    if len(dets):
+        assert (dets[:, 0] >= 0).all() and (dets[:, 2] <= w + 1).all()
+        assert (dets[:, 1] >= 0).all() and (dets[:, 3] <= h + 1).all()
+    # second call reuses the compiled program
+    d2, _ = pred(rgb)
+    assert d2.shape[1] == 6
+
+
+def test_predictor_batch_consistency(tiny_model):
+    """Same image twice -> identical detections (determinism)."""
+    model, variables = tiny_model
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (200, 300, 3), dtype=np.uint8)
+    pred = Predictor(model, variables, img_size=192, conf_thres=0.01,
+                     max_cand=256, max_det=50)
+    d1, _ = pred(img)
+    d2, _ = pred(img)
+    np.testing.assert_array_equal(d1, d2)
+
+
+def test_trainer_cycle(tmp_path):
+    """Two-epoch train + validate + checkpoint save/restore on a synthetic
+    dataset through the full Trainer."""
+    from vision_kit_tpu.utils.config import ConfigNode
+    from vision_kit_tpu.train.trainer import Trainer
+    from vision_kit_tpu.parallel.mesh import make_mesh
+
+    # synthetic yolo dataset
+    rng = np.random.default_rng(0)
+    for split in ("train", "valid"):
+        (tmp_path / split / "images").mkdir(parents=True)
+        (tmp_path / split / "labels").mkdir(parents=True)
+        for i in range(4):
+            img = np.full((160, 160, 3), 90, np.uint8)
+            img[40:90, 30:100] = (200, 60, 60)
+            cv2.imwrite(str(tmp_path / split / "images" / f"{i}.jpg"), img)
+            (tmp_path / split / "labels" / f"{i}.txt").write_text(
+                "0 0.40625 0.40625 0.4375 0.3125"
+            )
+
+    cfg = ConfigNode.wrap({
+        "model": {"name": "YOLOv5", "version": "n", "num_classes": 2,
+                  "input_size": [96, 96], "act": "silu", "deploy": False,
+                  "weight": ""},
+        "data": {"data_format": "yolo", "data_dir": str(tmp_path),
+                 "output_dir": str(tmp_path / "out"),
+                 "train_path": "train", "val_path": "valid",
+                 "test_path": "valid", "batch_size": 2, "max_epochs": 2,
+                 "num_workers": 0, "filter_classes": [],
+                 "class_labels": ["a", "b"]},
+        "testing": {"conf_thresh": 0.001, "iou_thresh": 0.6,
+                    "val_interval": 1},
+        "hypermeters": {"lr0": 0.01, "lrf": 0.01, "momentum": 0.937,
+                        "weight_decay": 0.0005, "warmup_epochs": 0.0,
+                        "warmup_bias_lr": 0.1, "warmup_momentum": 0.8,
+                        "box": 0.05, "cls": 0.5, "obj": 1.0, "cls_pw": 1.0,
+                        "obj_pw": 1.0, "iou_t": 0.2, "anchor_t": 4.0,
+                        "fl_gamma": 0.0, "label_smoothing": 0.0},
+        "augmentations": {"degrees": 0.0, "translate": 0.1, "scale": 0.5,
+                          "shear": 0.0, "perspective": 0.0,
+                          "flip_ud_prob": 0.0, "flip_lr_prob": 0.5,
+                          "mosaic_prob": 1.0, "mixup_prob": 1.0,
+                          "hsv_prob": 1.0, "mosaic_scale": [0.5, 1.5],
+                          "mixup_scale": [0.5, 1.5], "enable_mixup": False,
+                          "enable_mosaic": True},
+    })
+    os.makedirs(cfg.data.output_dir, exist_ok=True)
+    mesh = make_mesh(n_data=2, n_model=1)
+    trainer = Trainer(cfg, mesh=mesh, use_tensorboard=False)
+    trainer.fit()
+    assert int(jax.device_get(trainer.state.step)) > 0
+    assert os.path.exists(os.path.join(cfg.data.output_dir, "ckpts", "last"))
+
+    # restore into a fresh trainer
+    trainer2 = Trainer(cfg, mesh=mesh, use_tensorboard=False)
+    epoch = trainer2.load_checkpoint(
+        os.path.join(cfg.data.output_dir, "ckpts", "last")
+    )
+    assert epoch >= 0
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(jax.device_get(trainer2.state.params))[0]),
+        np.asarray(jax.tree_util.tree_leaves(jax.device_get(trainer.state.params))[0]),
+    )
+    trainer.train_loader.close()
+    trainer2.train_loader.close()

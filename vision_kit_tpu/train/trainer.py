@@ -245,11 +245,14 @@ class Trainer:
         self.train_loader.close()
 
     def validate(self):
+        from vision_kit_tpu.parallel.mesh import batch_sharding
+
         self.evaluator.reset()
         for batch in self.val_loader:
-            dets, valid = self.eval_step(
-                self.state, shard_batch(self.mesh, batch)["image"]
+            images = jax.device_put(
+                batch["image"], batch_sharding(self.mesh)
             )
+            dets, valid = self.eval_step(self.state, images)
             self.evaluator.update(
                 dets, valid, batch["targets"], batch["info"], batch["count"]
             )
