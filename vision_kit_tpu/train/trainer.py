@@ -79,10 +79,22 @@ class Trainer:
             variables["params"], dict(cfg.hypermeters), self.max_epochs,
             steps_per_epoch, cosine=cosine,
         )
-        self.loss = YoloLoss(
-            int(cfg.model.num_classes), self.model.grid_anchors,
-            dict(cfg.hypermeters),
+        use_ota = (
+            cfg.model.name == "YOLOv7"
+            and int(dict(cfg.hypermeters).get("loss_ota", 0))
         )
+        if use_ota:
+            from vision_kit_tpu.train.ota import YoloLossOTA
+
+            self.loss = YoloLossOTA(
+                int(cfg.model.num_classes), self.model.grid_anchors,
+                dict(cfg.hypermeters),
+            )
+        else:
+            self.loss = YoloLoss(
+                int(cfg.model.num_classes), self.model.grid_anchors,
+                dict(cfg.hypermeters),
+            )
         self.state = jax.device_put(
             create_train_state(self.model, variables, self.tx),
             replicated_sharding(self.mesh),
