@@ -40,7 +40,10 @@ def main():
 
         @jax.jit
         def fwd_raw(images):
-            return model.apply(variables, images, training=True)
+            out, _ = model.apply(
+                variables, images, training=True, mutable=["batch_stats"]
+            )
+            return out
 
         @jax.jit
         def fwd_decode(images):

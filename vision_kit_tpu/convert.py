@@ -193,6 +193,94 @@ def fuse_conv_bn(kernel, bn_scale, bn_bias, bn_mean, bn_var, eps=1e-3,
     return fused_kernel, fused_bias
 
 
+def fuse_repconv_params(variables: dict, eps: float = 1e-3) -> dict:
+    """Fold every RepConv's three branches into a single 3x3 conv+bias.
+
+    Pure-params version of the reference fuse_repvgg_block
+    (blocks.py:310-363) with its identity-branch bugs fixed (:331-338 build
+    the identity kernel incorrectly and contain the `functaionl` typo):
+
+      fused = fuse(rbr_dense) + pad1(fuse(rbr_1x1)) + fuse(Id, rbr_identity)
+
+    Produces `rbr_reparam: {kernel, bias}` entries and drops the branch
+    params/stats; apply the model with deploy=True afterwards.
+    """
+
+    def walk(params, stats):
+        out_p = {}
+        for key, node in params.items():
+            if not isinstance(node, Mapping):
+                out_p[key] = node
+                continue
+            snode = stats.get(key, {}) if isinstance(stats, Mapping) else {}
+            if "rbr_dense" in node:  # a RepConv
+                dk, db = fuse_conv_bn(
+                    node["rbr_dense"]["conv"]["kernel"],
+                    node["rbr_dense"]["bn"]["scale"],
+                    node["rbr_dense"]["bn"]["bias"],
+                    snode["rbr_dense"]["bn"]["mean"],
+                    snode["rbr_dense"]["bn"]["var"],
+                    eps,
+                )
+                ok, ob = fuse_conv_bn(
+                    node["rbr_1x1"]["conv"]["kernel"],
+                    node["rbr_1x1"]["bn"]["scale"],
+                    node["rbr_1x1"]["bn"]["bias"],
+                    snode["rbr_1x1"]["bn"]["mean"],
+                    snode["rbr_1x1"]["bn"]["var"],
+                    eps,
+                )
+                ok3 = jnp.pad(ok, ((1, 1), (1, 1), (0, 0), (0, 0)))
+                kernel = dk + ok3
+                bias = db + ob
+                if "rbr_identity" in node:
+                    ins = dk.shape[2]
+                    ident = jnp.zeros_like(ok)
+                    ident = ident.at[
+                        0, 0, jnp.arange(ins), jnp.arange(ins)
+                    ].set(1.0)
+                    ik, ib = fuse_conv_bn(
+                        ident,
+                        node["rbr_identity"]["scale"],
+                        node["rbr_identity"]["bias"],
+                        snode["rbr_identity"]["mean"],
+                        snode["rbr_identity"]["var"],
+                        eps,
+                    )
+                    kernel = kernel + jnp.pad(
+                        ik, ((1, 1), (1, 1), (0, 0), (0, 0))
+                    )
+                    bias = bias + ib
+                out_p[key] = {"rbr_reparam": {"kernel": kernel, "bias": bias}}
+            else:
+                out_p[key] = walk(node, snode)
+        return out_p
+
+    params = walk(variables["params"], variables.get("batch_stats", {}))
+
+    # drop batch_stats subtrees belonging to fused RepConvs, keep the rest
+    def prune_stats(stats, params):
+        out = {}
+        for key, node in stats.items():
+            pnode = params.get(key) if isinstance(params, Mapping) else None
+            if isinstance(pnode, Mapping) and "rbr_reparam" in pnode:
+                continue
+            if isinstance(node, Mapping):
+                sub = prune_stats(node, pnode if isinstance(pnode, Mapping) else {})
+                if sub:
+                    out[key] = sub
+            else:
+                out[key] = node
+        return out
+
+    new_vars = dict(variables)
+    new_vars["params"] = params
+    new_vars["batch_stats"] = prune_stats(
+        variables.get("batch_stats", {}), params
+    )
+    return new_vars
+
+
 def reparameterize_v7(variables: dict, num_classes: int = 80, na: int = 3) -> dict:
     """Fold head Implicit layers into the 1x1 head convs (pure math version
     of reference architectures/yolov7.py:82-103).
