@@ -1,0 +1,182 @@
+// vkio: native input pipeline for vision-kit-tpu.
+//
+// The TPU eats batches far faster than a Python loop can decode and
+// letterbox JPEGs (single-core host). This library owns the host hot path:
+// JPEG/PNG decode -> letterbox resize/pad(114) -> NHWC uint8 write into a
+// caller-provided batch buffer, parallelized with a persistent thread pool,
+// with zero Python between stages. Exposed via a C ABI consumed with
+// ctypes (vision_kit_tpu/data/native.py).
+//
+// The letterbox geometry matches vision_kit_tpu.ops.letterbox.letterbox_np
+// exactly (ratio = min(dst/src), cv2 INTER_LINEAR, centered pad with the
+// reference's +/-0.1 rounding, gray 114), so native and Python paths are
+// interchangeable bit-for-bit.
+
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <queue>
+#include <thread>
+#include <vector>
+
+#include <opencv2/core.hpp>
+#include <opencv2/imgcodecs.hpp>
+#include <opencv2/imgproc.hpp>
+
+namespace {
+
+constexpr int kPadValue = 114;
+
+struct LetterboxInfo {
+  float ratio;
+  float dw;
+  float dh;
+  int ok;  // 1 = success, 0 = decode failure
+};
+
+// One image: decode path -> letterboxed RGB uint8 into out (dst_h*dst_w*3).
+LetterboxInfo DecodeLetterbox(const char* path, int dst_h, int dst_w,
+                              uint8_t* out) {
+  LetterboxInfo info{0.f, 0.f, 0.f, 0};
+  cv::Mat bgr = cv::imread(path, cv::IMREAD_COLOR);
+  if (bgr.empty()) {
+    std::memset(out, kPadValue, static_cast<size_t>(dst_h) * dst_w * 3);
+    return info;
+  }
+  cv::Mat rgb;
+  cv::cvtColor(bgr, rgb, cv::COLOR_BGR2RGB);
+
+  const int h = rgb.rows, w = rgb.cols;
+  const double ratio =
+      std::min(static_cast<double>(dst_h) / h, static_cast<double>(dst_w) / w);
+  const int new_w = static_cast<int>(std::lround(w * ratio));
+  const int new_h = static_cast<int>(std::lround(h * ratio));
+
+  cv::Mat resized;
+  if (new_w != w || new_h != h) {
+    cv::resize(rgb, resized, cv::Size(new_w, new_h), 0, 0, cv::INTER_LINEAR);
+  } else {
+    resized = rgb;
+  }
+
+  const double dw = (dst_w - new_w) / 2.0;
+  const double dh = (dst_h - new_h) / 2.0;
+  const int top = static_cast<int>(std::lround(dh - 0.1));
+  const int left = static_cast<int>(std::lround(dw - 0.1));
+
+  cv::Mat canvas(dst_h, dst_w, CV_8UC3, out);
+  canvas.setTo(cv::Scalar(kPadValue, kPadValue, kPadValue));
+  resized.copyTo(canvas(cv::Rect(left, top, new_w, new_h)));
+
+  info.ratio = static_cast<float>(ratio);
+  info.dw = static_cast<float>(dw);
+  info.dh = static_cast<float>(dh);
+  info.ok = 1;
+  return info;
+}
+
+// Persistent thread pool (created once; survives across batch calls).
+class Pool {
+ public:
+  explicit Pool(int n) : stop_(false) {
+    for (int i = 0; i < n; ++i) {
+      threads_.emplace_back([this] { Loop(); });
+    }
+  }
+  ~Pool() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : threads_) t.join();
+  }
+  void Submit(std::function<void()> fn) {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      work_.push(std::move(fn));
+    }
+    cv_.notify_one();
+  }
+
+ private:
+  void Loop() {
+    for (;;) {
+      std::function<void()> fn;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_.wait(lk, [this] { return stop_ || !work_.empty(); });
+        if (stop_ && work_.empty()) return;
+        fn = std::move(work_.front());
+        work_.pop();
+      }
+      fn();
+    }
+  }
+  std::mutex mu_;
+  std::condition_variable cv_;
+  std::queue<std::function<void()>> work_;
+  std::vector<std::thread> threads_;
+  bool stop_;
+};
+
+Pool* GlobalPool(int threads) {
+  static Pool* pool = new Pool(threads > 0 ? threads : 4);
+  return pool;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode + letterbox a single image. out: dst_h*dst_w*3 uint8 (RGB).
+// info_out: [ratio, dw, dh, ok] floats. Returns 0 on success.
+int vkio_decode_letterbox(const char* path, int dst_h, int dst_w,
+                          uint8_t* out, float* info_out) {
+  LetterboxInfo info = DecodeLetterbox(path, dst_h, dst_w, out);
+  info_out[0] = info.ratio;
+  info_out[1] = info.dw;
+  info_out[2] = info.dh;
+  info_out[3] = static_cast<float>(info.ok);
+  return info.ok ? 0 : 1;
+}
+
+// Decode + letterbox a batch in parallel.
+// paths: array of n C strings. out: n*dst_h*dst_w*3 uint8.
+// infos: n*4 floats [ratio, dw, dh, ok]. threads<=0 -> default pool.
+// Returns the number of failed decodes.
+int vkio_decode_letterbox_batch(const char** paths, int n, int dst_h,
+                                int dst_w, uint8_t* out, float* infos,
+                                int threads) {
+  Pool* pool = GlobalPool(threads);
+  std::atomic<int> remaining(n);
+  std::atomic<int> failures(0);
+  std::mutex done_mu;
+  std::condition_variable done_cv;
+
+  const size_t img_bytes = static_cast<size_t>(dst_h) * dst_w * 3;
+  for (int i = 0; i < n; ++i) {
+    pool->Submit([&, i] {
+      LetterboxInfo info =
+          DecodeLetterbox(paths[i], dst_h, dst_w, out + i * img_bytes);
+      infos[i * 4 + 0] = info.ratio;
+      infos[i * 4 + 1] = info.dw;
+      infos[i * 4 + 2] = info.dh;
+      infos[i * 4 + 3] = static_cast<float>(info.ok);
+      if (!info.ok) failures.fetch_add(1);
+      if (remaining.fetch_sub(1) == 1) {
+        std::lock_guard<std::mutex> lk(done_mu);
+        done_cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(done_mu);
+  done_cv.wait(lk, [&] { return remaining.load() == 0; });
+  return failures.load();
+}
+
+}  // extern "C"

@@ -1,0 +1,98 @@
+"""ctypes bindings for the native C++ input pipeline (native/vkio.cpp).
+
+Builds the shared library on first use if missing (make in native/); falls
+back to the Python/cv2 path transparently when the toolchain or OpenCV dev
+headers are unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libvkio.so")
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR], check=True,
+                capture_output=True, timeout=300,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.vkio_decode_letterbox.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.vkio_decode_letterbox.restype = ctypes.c_int
+    lib.vkio_decode_letterbox_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+    ]
+    lib.vkio_decode_letterbox_batch.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_letterbox(path: str, dst_hw: tuple[int, int]):
+    """Returns (img (H, W, 3) uint8 RGB letterboxed, (ratio, (dw, dh))) or
+    None on decode failure."""
+    lib = _load()
+    assert lib is not None, "native vkio unavailable"
+    h, w = dst_hw
+    out = np.empty((h, w, 3), np.uint8)
+    info = np.empty(4, np.float32)
+    lib.vkio_decode_letterbox(
+        path.encode(), h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        info.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if info[3] < 0.5:
+        return None
+    return out, (float(info[0]), (float(info[1]), float(info[2])))
+
+
+def decode_letterbox_batch(paths: list[str], dst_hw: tuple[int, int],
+                           threads: int = 0):
+    """Parallel batch decode+letterbox.
+
+    Returns (imgs (N, H, W, 3) uint8, infos (N, 4) [ratio, dw, dh, ok])."""
+    lib = _load()
+    assert lib is not None, "native vkio unavailable"
+    h, w = dst_hw
+    n = len(paths)
+    out = np.empty((n, h, w, 3), np.uint8)
+    infos = np.empty((n, 4), np.float32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.vkio_decode_letterbox_batch(
+        arr, n, h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        infos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        threads,
+    )
+    return out, infos
