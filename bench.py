@@ -33,7 +33,7 @@ def main():
     from vision_kit_tpu.models import YOLOV5
     from vision_kit_tpu.ops.nms import postprocess
 
-    batch = 32
+    batch = 64
     size = 640
     model = YOLOV5(variant="s", num_classes=80, dtype=jnp.bfloat16)
     variables = model.init(

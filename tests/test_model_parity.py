@@ -51,7 +51,7 @@ def test_yolov5_forward_parity(reference, variant):
     from vision_kit.models.architectures.yolov5 import YOLOV5 as RefV5
 
     torch_model = _make_ref_v5(variant)
-    jax_model = YOLOV5(variant=variant, num_classes=80)
+    jax_model = YOLOV5(variant=variant, num_classes=80, decode_order="reference")
     ref_out, got_out = _run_pair(reference, jax_model, torch_model)
 
     ref_decoded = ref_out[0].numpy()
@@ -70,7 +70,7 @@ def test_yolov7_forward_parity(reference):
     from vision_kit.models.architectures.yolov7 import YOLOV7 as RefV7
 
     torch_model = RefV7(variant="base", num_classes=80, deploy=False)
-    jax_model = YOLOV7(variant="base", num_classes=80, deploy=False)
+    jax_model = YOLOV7(variant="base", num_classes=80, deploy=False, decode_order="reference")
     ref_out, got_out = _run_pair(reference, jax_model, torch_model)
 
     ref_decoded = ref_out[0].numpy()

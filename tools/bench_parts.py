@@ -31,7 +31,7 @@ def main():
 
     size = 640
     results = {}
-    for batch in (8, 32, 64):
+    for batch in (64, 128):
         model = YOLOV5(variant="s", num_classes=80, dtype=jnp.bfloat16)
         variables = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)),

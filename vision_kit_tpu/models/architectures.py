@@ -24,6 +24,7 @@ class YOLOV5(nn.Module):
     act: str = "silu"
     num_classes: int = 80
     export: bool = False
+    decode_order: str = "native"
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -36,7 +37,7 @@ class YOLOV5(nn.Module):
         )
         self.head = YoloV5Head(
             num_classes=self.num_classes, width=wid_mul, export=self.export,
-            dtype=self.dtype,
+            decode_order=self.decode_order, dtype=self.dtype,
         )
 
     def __call__(self, x, training: bool = False):
@@ -61,6 +62,7 @@ class YOLOV7(nn.Module):
     num_classes: int = 80
     deploy: bool = False
     export: bool = False
+    decode_order: str = "native"
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -73,7 +75,8 @@ class YOLOV7(nn.Module):
         )
         self.head = YoloV7Head(
             variant=self.variant, num_classes=self.num_classes,
-            deploy=self.deploy, export=self.export, dtype=self.dtype,
+            deploy=self.deploy, export=self.export,
+            decode_order=self.decode_order, dtype=self.dtype,
         )
 
     def __call__(self, x, training: bool = False):

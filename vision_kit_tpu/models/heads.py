@@ -81,22 +81,33 @@ def _make_grid(ny: int, nx: int, offset: float) -> np.ndarray:
 
 
 def _decode_level(
-    raw: jnp.ndarray,          # (B, na, ny, nx, no)
+    raw: jnp.ndarray,          # (B, na, ny, nx, no) or (B, ny, nx, na, no)
     stride: float,
     anchors_px: np.ndarray,    # (na, 2) pixel units
     v7_style: bool,
+    anchor_axis: int,
 ) -> jnp.ndarray:
-    b, na, ny, nx, no = raw.shape
+    """Sigmoid-decode one level. anchor_axis=1 reproduces the reference's
+    anchor-major flattening (torch layout, needed for exact output-order
+    parity); anchor_axis=3 decodes the NHWC conv output in place with no
+    transpose (faster eval path; NMS results are order-independent up to
+    score ties)."""
     y = jax.nn.sigmoid(raw)
+    if anchor_axis == 1:
+        b, na, ny, nx, no = raw.shape
+        grid_shape = (1, 1, ny, nx, 2)
+        anc_shape = (1, na, 1, 1, 2)
+    else:
+        b, ny, nx, na, no = raw.shape
+        grid_shape = (1, ny, nx, 1, 2)
+        anc_shape = (1, 1, 1, na, 2)
     if v7_style:
-        grid = jnp.asarray(_make_grid(ny, nx, 0.0))
+        grid = jnp.asarray(_make_grid(ny, nx, 0.0)).reshape(grid_shape)
         xy = (y[..., 0:2] * 2.0 - 0.5 + grid) * stride
     else:
-        grid = jnp.asarray(_make_grid(ny, nx, -0.5))
+        grid = jnp.asarray(_make_grid(ny, nx, -0.5)).reshape(grid_shape)
         xy = (y[..., 0:2] * 2.0 + grid) * stride
-    anchor_grid = jnp.asarray(
-        anchors_px.reshape(1, na, 1, 1, 2).astype(np.float32)
-    )
+    anchor_grid = jnp.asarray(anchors_px.astype(np.float32)).reshape(anc_shape)
     wh = (y[..., 2:4] * 2.0) ** 2 * anchor_grid
     out = jnp.concatenate([xy, wh, y[..., 4:]], axis=-1)
     return out.reshape(b, na * ny * nx, no)
@@ -111,6 +122,7 @@ class YoloV5Head(nn.Module):
     in_chs: Sequence[int] = (256, 512, 1024)
     stride: Sequence[float] = (8.0, 16.0, 32.0)
     export: bool = False
+    decode_order: str = "native"  # "native" (fast) | "reference" (parity)
     dtype: Any = jnp.float32
 
     @property
@@ -122,6 +134,7 @@ class YoloV5Head(nn.Module):
         na = len(self.anchors[0]) // 2
         no = self.num_classes + 5
         anchors_grid = self.grid_anchors                      # (nl, na, 2)
+        reference_order = self.decode_order == "reference"
 
         raws, decoded = [], []
         for i, f in enumerate(feats):
@@ -139,9 +152,18 @@ class YoloV5Head(nn.Module):
             raws.append(raw)
             if not training:
                 anchors_px = anchors_grid[i] * self.stride[i]
-                decoded.append(
-                    _decode_level(raw, self.stride[i], anchors_px, False)
-                )
+                if reference_order:
+                    decoded.append(
+                        _decode_level(raw, self.stride[i], anchors_px, False,
+                                      anchor_axis=1)
+                    )
+                else:
+                    decoded.append(
+                        _decode_level(
+                            y.reshape(b, ny, nx, na, no), self.stride[i],
+                            anchors_px, False, anchor_axis=3,
+                        )
+                    )
 
         if training:
             return raws
@@ -166,6 +188,7 @@ class YoloV7Head(nn.Module):
     stride: Sequence[float] = (8.0, 16.0, 32.0)
     deploy: bool = False
     export: bool = False
+    decode_order: str = "native"  # "native" (fast) | "reference" (parity)
     dtype: Any = jnp.float32
 
     @property
@@ -194,9 +217,18 @@ class YoloV7Head(nn.Module):
             raw = y.reshape(b, ny, nx, na, no).transpose(0, 3, 1, 2, 4)
             raws.append(raw)
             if not training:
-                decoded.append(
-                    _decode_level(raw, self.stride[i], anchors_px[i], True)
-                )
+                if self.decode_order == "reference":
+                    decoded.append(
+                        _decode_level(raw, self.stride[i], anchors_px[i],
+                                      True, anchor_axis=1)
+                    )
+                else:
+                    decoded.append(
+                        _decode_level(
+                            y.reshape(b, ny, nx, na, no), self.stride[i],
+                            anchors_px[i], True, anchor_axis=3,
+                        )
+                    )
 
         if training:
             return raws

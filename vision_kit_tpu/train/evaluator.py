@@ -189,17 +189,18 @@ class DetEvaluator:
     def summarize(self):
         """Returns dict with mp/mr/map50/map50_95 + per-class table data."""
         if not self.stats:
-            return {"map50": 0.0, "map50_95": 0.0, "mp": 0.0, "mr": 0.0,
-                    "per_class": []}
+            return {"map50": 0.0, "map50_95": 0.0, "map75": 0.0, "mp": 0.0,
+                    "mr": 0.0, "per_class": []}
         stats = [np.concatenate(x, 0) for x in zip(*self.stats)]
-        out = {"map50": 0.0, "map50_95": 0.0, "mp": 0.0, "mr": 0.0,
-               "per_class": []}
+        out = {"map50": 0.0, "map50_95": 0.0, "map75": 0.0, "mp": 0.0,
+               "mr": 0.0, "per_class": []}
         if len(stats) and stats[0].any():
             tp, fp, p, r, f1, ap, ap_class = ap_per_class(*stats)
             ap50, ap_mean = ap[:, 0], ap.mean(1)
             out.update(
                 mp=float(p.mean()), mr=float(r.mean()),
                 map50=float(ap50.mean()), map50_95=float(ap_mean.mean()),
+                map75=float(ap[:, 5].mean()),  # iouv[5] == 0.75
             )
             nt = np.bincount(stats[3].astype(int),
                              minlength=len(self.class_labels))

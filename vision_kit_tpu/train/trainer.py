@@ -245,6 +245,7 @@ class Trainer:
                     self.best_map50 = map50
                     self.epochs_no_improve = 0
                     self.save_checkpoint("best", epoch)
+                    self._export_best_weights(map50)
                 else:
                     self.epochs_no_improve += 1
             self.save_checkpoint("last", epoch)
@@ -289,6 +290,38 @@ class Trainer:
             result["map50_95"],
         )
         return result
+
+    def _export_best_weights(self, map50: float):
+        """Standalone EMA-weights artifact on new best (counterpart of the
+        reference's ModelCkpt.save_best fp16 export,
+        training_helpers.py:46-55)."""
+        try:
+            from flax import serialization
+
+            tree = jax.device_get(self.state.ema.tree)
+            path = os.path.join(
+                self.output_dir, "weights",
+                f"best-map50_{map50:.4f}.msgpack",
+            )
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(serialization.to_bytes(tree))
+        except Exception as e:
+            logger.warning("best-weights export failed: %s", e)
+
+    def profile(self, steps: int = 5):
+        """Capture a jax.profiler trace of the train step (counterpart of the
+        reference's PL profilers, training_helpers.py:58-78). View with
+        tensorboard --logdir <output_dir>/profile."""
+        trace_dir = os.path.join(self.output_dir, "profile")
+        it = iter(self.train_loader)
+        batch = shard_batch(self.mesh, next(it))
+        self.state, _ = self.train_step(self.state, batch)  # compile first
+        with jax.profiler.trace(trace_dir):
+            for _ in range(steps):
+                self.state, metrics = self.train_step(self.state, batch)
+            jax.block_until_ready(metrics)
+        logger.info("profile trace written to %s", trace_dir)
 
     def _save_grid(self, batch, split):
         try:
