@@ -47,6 +47,19 @@ def bce_with_logits(logits, targets, pos_weight: float = 1.0):
     return -(pos_weight * targets * log_p + (1.0 - targets) * log_not_p)
 
 
+def focal_bce_with_logits(logits, targets, pos_weight: float = 1.0,
+                          gamma: float = 1.5, alpha: float = 0.25):
+    """Focal-modulated BCE (the reference planned this in its empty
+    losses/focals.py stub; `fl_gamma` already exists in the config schema,
+    configs/yolov5.yaml:40). Ultralytics FocalLoss semantics: modulate the
+    BCE by (1 - p_t)^gamma with alpha class balancing."""
+    bce = bce_with_logits(logits, targets, pos_weight)
+    p = jax.nn.sigmoid(logits)
+    p_t = targets * p + (1.0 - targets) * (1.0 - p)
+    alpha_t = targets * alpha + (1.0 - targets) * (1.0 - alpha)
+    return bce * alpha_t * (1.0 - p_t) ** gamma
+
+
 class YoloLoss:
     """Anchor-based YOLO loss (CIoU box + BCE obj + BCE cls).
 
@@ -69,6 +82,14 @@ class YoloLoss:
         )
         self.cp, self.cn = smooth_bce(self.hyp.get("label_smoothing", 0.0))
         self.gr = 1.0
+        self.fl_gamma = float(self.hyp.get("fl_gamma", 0.0))
+
+    def _bce(self, logits, targets, pos_weight):
+        if self.fl_gamma > 0:
+            return focal_bce_with_logits(
+                logits, targets, pos_weight, gamma=self.fl_gamma
+            )
+        return bce_with_logits(logits, targets, pos_weight)
 
     def __call__(self, preds: Sequence[jnp.ndarray], targets: jnp.ndarray):
         """Compute the loss.
@@ -196,7 +217,7 @@ class YoloLoss:
         tobj = jnp.zeros((b * na * ny * nx,), pred.dtype)
         tobj = tobj.at[lin_flat].max(tobj_updates, mode="drop")
         obj_logits = pred_flat[:, 4]
-        loss_obj = bce_with_logits(
+        loss_obj = self._bce(
             obj_logits, tobj, self.hyp.get("obj_pw", 1.0)
         ).mean()
 
@@ -209,7 +230,7 @@ class YoloLoss:
                 jnp.clip(tcls, 0, nc - 1).astype(jnp.int32), nc
             )
             t = jnp.where(onehot > 0, self.cp, self.cn)
-            ce = bce_with_logits(psub[:, 5:], t, self.hyp.get("cls_pw", 1.0))
+            ce = self._bce(psub[:, 5:], t, self.hyp.get("cls_pw", 1.0))
             loss_cls = (
                 jnp.where(valid_flat[:, None], ce, 0.0).sum()
                 / (n_valid * nc)
