@@ -1,0 +1,92 @@
+"""Converter tests: key translation, shape checking, checkpoint file
+round-trip, missing-key detection."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vision_kit_tpu.convert import (
+    _translate_key,
+    load_torch_checkpoint,
+    torch_to_flax,
+)
+from vision_kit_tpu.models import YOLOV5
+
+
+def test_translate_key():
+    assert _translate_key("backbone.stage1.0.conv.weight") == [
+        "backbone", "stage1_0", "conv", "weight"
+    ]
+    assert _translate_key("head.m.0.bias") == ["head", "m_0", "bias"]
+    assert _translate_key("head.ia.0.implicit") == ["head", "ia_0", "implicit"]
+    # v7 backbone attribute that already contains an underscore
+    assert _translate_key("backbone.stage2_1.conv1.conv.weight") == [
+        "backbone", "stage2_1", "conv1", "conv", "weight"
+    ]
+    assert _translate_key("backbone.stem.bn.num_batches_tracked") is None
+
+
+def test_full_model_roundtrip(reference):
+    """Every torch key of the reference v5n maps into the flax template and
+    nothing in the template is left uncovered (strict mode passes)."""
+    from conftest import reset_reference_defaults
+    from vision_kit.models.architectures.yolov5 import YOLOV5 as RefV5
+
+    reset_reference_defaults()
+    torch_model = RefV5(variant="n", num_classes=7)
+    reset_reference_defaults()
+    jax_model = YOLOV5(variant="n", num_classes=7)
+    template = jax_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=False
+    )
+    variables = torch_to_flax(torch_model.state_dict(), template=template)
+    # converted tree has the same leaves as the template
+    t_leaves = jax.tree_util.tree_leaves(template["params"])
+    c_leaves = jax.tree_util.tree_leaves(variables["params"])
+    assert len(t_leaves) == len(c_leaves)
+
+
+def test_shape_mismatch_detected(reference):
+    from conftest import reset_reference_defaults
+    from vision_kit.models.architectures.yolov5 import YOLOV5 as RefV5
+
+    reset_reference_defaults()
+    torch_model = RefV5(variant="n", num_classes=7)
+    reset_reference_defaults()
+    jax_model = YOLOV5(variant="n", num_classes=80)  # wrong class count
+    template = jax_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=False
+    )
+    with pytest.raises(ValueError, match="shape mismatch"):
+        torch_to_flax(torch_model.state_dict(), template=template)
+
+
+def test_load_torch_checkpoint_file(tmp_path):
+    import torch
+
+    sd = {
+        "backbone.stem.conv.weight": torch.randn(8, 3, 6, 6).half(),
+        "backbone.stem.bn.weight": torch.randn(8),
+    }
+    path = str(tmp_path / "w.pt")
+    torch.save(sd, path)
+    loaded = load_torch_checkpoint(path)
+    assert set(loaded) == set(sd)
+    assert loaded["backbone.stem.conv.weight"].dtype == np.float32  # upcast
+
+
+def test_load_lightning_style_checkpoint(tmp_path):
+    import torch
+
+    sd = {
+        "state_dict": {
+            "model.backbone.stem.conv.weight": torch.randn(4, 3, 3, 3),
+            "ema_model.module.backbone.stem.conv.weight": torch.randn(4, 3, 3, 3),
+        }
+    }
+    path = str(tmp_path / "l.ckpt")
+    torch.save(sd, path)
+    loaded = load_torch_checkpoint(path)
+    assert "backbone.stem.conv.weight" in loaded

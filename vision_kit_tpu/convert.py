@@ -166,12 +166,23 @@ def load_torch_checkpoint(path: str) -> dict:
             if key in ckpt and isinstance(ckpt[key], dict):
                 ckpt = ckpt[key]
                 break
-    sd = {}
+    sd, ema = {}, {}
     for k, v in ckpt.items():
         if not hasattr(v, "numpy"):
             continue
-        k = k.replace("ema_model.module.", "").replace("model.", "", 1) if k.startswith("model.") else k
-        sd[k] = v.detach().float().cpu().numpy()
+        arr = v.detach().float().cpu().numpy()
+        if k.startswith("ema_model."):
+            k = k[len("ema_model."):]
+            if k.startswith("module."):
+                k = k[len("module."):]
+            ema[k] = arr
+        elif k.startswith("model."):
+            sd[k[len("model."):]] = arr
+        else:
+            sd[k] = arr
+    # EMA weights take precedence: the reference restores EMA for eval
+    # (base_trainer.py:34-47)
+    sd.update(ema)
     return sd
 
 
