@@ -53,14 +53,20 @@ def main():
         rng.uniform(0, 1, (batch, size, size, 3)).astype(np.float32)
     )
 
-    # warmup / compile
-    jax.block_until_ready(infer(images))
+    # warmup / compile. NOTE: block_until_ready does not actually block on
+    # the tunneled TPU backend — a device->host readback is the only reliable
+    # completion barrier, so we chain a tiny on-device accumulator across
+    # iterations and read it back once.
+    dets, valid = infer(images)
+    float(jnp.sum(valid))
 
-    iters = 10
+    iters = 20
     t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.int32)
     for _ in range(iters):
-        out = infer(images)
-    jax.block_until_ready(out)
+        dets, valid = infer(images)
+        acc = acc + jnp.sum(valid)
+    _ = float(acc)  # single readback; waits for every iteration
     dt = time.perf_counter() - t0
 
     images_per_sec = batch * iters / dt

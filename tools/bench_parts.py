@@ -11,14 +11,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(fn, arg, iters=10):
+    """block_until_ready is a no-op over the axon tunnel; chain a device-side
+    scalar across iterations and read it back once to force completion."""
     import jax
+    import jax.numpy as jnp
 
-    jax.block_until_ready(fn(arg))
+    def scalarize(out):
+        leaves = jax.tree_util.tree_leaves(out)
+        return sum(jnp.sum(x[..., :1].astype(jnp.float32)) for x in leaves)
+
+    float(scalarize(fn(arg)))  # warm
     t0 = time.perf_counter()
-    out = None
+    acc = jnp.zeros((), jnp.float32)
     for _ in range(iters):
-        out = fn(arg)
-    jax.block_until_ready(out)
+        acc = acc + scalarize(fn(arg))
+    _ = float(acc)
     return (time.perf_counter() - t0) / iters
 
 

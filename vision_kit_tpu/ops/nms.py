@@ -57,6 +57,13 @@ def _greedy_keep(iou: jnp.ndarray, iou_thres: float) -> jnp.ndarray:
     return keep
 
 
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def _nms_single(
     boxes: jnp.ndarray,      # (K, 4) xyxy, score-desc sorted, class-offset applied
     scores: jnp.ndarray,     # (K,) with invalid candidates at NEG_INF
@@ -67,6 +74,10 @@ def _nms_single(
     iou = box_iou_pairwise(boxes, boxes)
     keep = _greedy_keep(iou, iou_thres)
     valid = keep & (scores > NEG_INF / 2)
+    return _select_top(raw, scores, valid, max_det)
+
+
+def _select_top(raw, scores, valid, max_det):
     sel_scores = jnp.where(valid, scores, NEG_INF)
     top_scores, top_idx = jax.lax.top_k(sel_scores, max_det)
     out = jnp.take(raw, top_idx, axis=0)
@@ -134,9 +145,23 @@ def postprocess(
         raw = jnp.concatenate(
             [cand_boxes, top_s[:, None], cls_idx[:, None]], axis=-1
         )
-        return _nms_single(nms_boxes, top_s, raw, iou_thres, max_det)
+        return nms_boxes, top_s, raw
 
-    return jax.vmap(per_image)(boxes_xyxy, cls_conf)
+    nms_boxes, scores, raw = jax.vmap(per_image)(boxes_xyxy, cls_conf)
+    valid_cand = scores > NEG_INF / 2
+
+    if _use_pallas() and max_cand % 128 == 0:
+        # exact greedy scan in VMEM (ops/pallas_nms.py); invalid candidates
+        # sit at the bottom of the score sort so they can't suppress others
+        from vision_kit_tpu.ops.pallas_nms import pallas_greedy_keep
+
+        keep = pallas_greedy_keep(nms_boxes, valid_cand, iou_thres)
+    else:
+        keep = jax.vmap(
+            lambda bx: _greedy_keep(box_iou_pairwise(bx, bx), iou_thres)
+        )(nms_boxes)
+    keep = keep & valid_cand
+    return jax.vmap(partial(_select_top, max_det=max_det))(raw, scores, keep)
 
 
 def batched_nms(
