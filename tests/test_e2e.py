@@ -57,6 +57,23 @@ def test_predictor_batch_consistency(tiny_model):
     np.testing.assert_array_equal(d1, d2)
 
 
+def test_export_stablehlo(tiny_model):
+    """Export path: lowering the fixed-shape inference program to StableHLO
+    text (the TPU-native analog of the reference's ONNX export)."""
+    model, variables = tiny_model
+
+    def forward(images):
+        decoded, _ = model.apply(variables, images, training=False)
+        return decoded
+
+    lowered = jax.jit(forward).lower(
+        jax.ShapeDtypeStruct((1, 192, 192, 3), jnp.float32)
+    )
+    text = lowered.as_text()
+    assert "stablehlo" in text or "mhlo" in text or "func.func" in text
+    assert len(text) > 1000
+
+
 def test_trainer_cycle(tmp_path):
     """Two-epoch train + validate + checkpoint save/restore on a synthetic
     dataset through the full Trainer."""

@@ -1,0 +1,65 @@
+"""Training-step throughput on the real chip (YOLOv5s@640, synthetic batch).
+
+Uses the device-readback completion barrier (block_until_ready is a no-op
+over the axon tunnel)."""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vision_kit_tpu.models import YOLOV5
+    from vision_kit_tpu.train.losses import YoloLoss
+    from vision_kit_tpu.train.optim import make_optimizer
+    from vision_kit_tpu.train.step import create_train_state, make_train_step
+
+    hyp = {
+        "lr0": 0.01, "lrf": 0.01, "momentum": 0.937, "weight_decay": 0.0005,
+        "warmup_epochs": 3.0, "warmup_bias_lr": 0.1, "warmup_momentum": 0.8,
+        "box": 0.05, "cls": 0.5, "obj": 1.0, "cls_pw": 1.0, "obj_pw": 1.0,
+        "anchor_t": 4.0, "label_smoothing": 0.0,
+    }
+    batch, size = 32, 640
+    model = YOLOV5(variant="s", num_classes=80)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), training=False
+    )
+    tx = make_optimizer(variables["params"], hyp, 300, 1000)
+    loss = YoloLoss(80, model.grid_anchors, hyp)
+    state = create_train_state(model, variables, tx)
+    step = make_train_step(model, loss, tx, donate=False)
+
+    rng = np.random.default_rng(0)
+    targets = np.full((batch, 32, 5), -1, np.float32)
+    targets[:, :4, 0] = rng.integers(0, 80, (batch, 4))
+    targets[:, :4, 1:] = rng.uniform(0.2, 0.6, (batch, 4, 4))
+    data = {
+        "image": jnp.asarray(
+            rng.uniform(0, 1, (batch, size, size, 3)).astype(np.float32)
+        ),
+        "targets": jnp.asarray(targets),
+    }
+
+    state, metrics = step(state, data)
+    float(metrics["loss"])  # compile + completion barrier
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, data)
+    _ = float(metrics["loss"])  # chained via state -> full completion
+    dt = time.perf_counter() - t0
+    print(f"train yolov5s@{size} b{batch}: {dt/iters*1e3:.1f} ms/step, "
+          f"{batch*iters/dt:.1f} img/s")
+
+
+if __name__ == "__main__":
+    main()
