@@ -118,6 +118,19 @@ class DetEvaluator:
             (img_size, img_size) if isinstance(img_size, int) else tuple(img_size)
         )
         self.gt_json = gt_json
+        # contiguous class index -> dataset category id for COCO-json export
+        # (reference det_evaluator.py:116-123 reads them from the gt json)
+        self.class_ids = list(range(1, len(self.class_labels) + 1))
+        if gt_json is not None:
+            try:
+                import json as _json
+
+                with open(gt_json) as f:
+                    cats = _json.load(f).get("categories", [])
+                if cats:
+                    self.class_ids = sorted(c["id"] for c in cats)
+            except Exception:
+                pass
         self.iouv = np.linspace(0.5, 0.95, 10)
         self.reset()
 
@@ -126,6 +139,11 @@ class DetEvaluator:
         self.seen = 0
         self.coco_data = []
         self.metrics = {}
+        from vision_kit_tpu.train.coco_metrics import COCOMetrics
+
+        self.coco_metrics = COCOMetrics(
+            class_ids=list(range(len(self.class_labels)))
+        )
 
     def update(self, dets, valid, targets, infos, count=None):
         """Accumulate one batch.
@@ -173,11 +191,19 @@ class DetEvaluator:
             self.stats.append(
                 (correct, pred[:, 4], pred[:, 5], labels[:, 0])
             )
+            self.coco_metrics.update(
+                predn if len(predn) else np.zeros((0, 6), np.float32), labels
+            )
             if self.gt_json is not None and len(predn):
                 for row in predn:
+                    ci = int(row[5])
+                    cat = (
+                        self.class_ids[ci]
+                        if ci < len(self.class_ids) else ci + 1
+                    )
                     self.coco_data.append({
                         "image_id": int(img_id),
-                        "category_id": int(row[5]) + 1,
+                        "category_id": cat,
                         "bbox": [
                             float(row[0]), float(row[1]),
                             float(row[2] - row[0]), float(row[3] - row[1]),
@@ -217,6 +243,12 @@ class DetEvaluator:
                 })
         self.metrics = out
         return out
+
+    def summarize_coco(self) -> dict:
+        """Full COCO-protocol metric set (map/map_50/map_75/size bins,
+        mar_1/10/100/size bins) — the counterpart of the reference's
+        torchmetrics MeanAveragePrecision tables (det_trainer.py:150-177)."""
+        return self.coco_metrics.compute()
 
     def coco_evaluate(self):
         """Optional pycocotools backend (gated, like the reference

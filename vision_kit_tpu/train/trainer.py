@@ -289,6 +289,32 @@ class Trainer:
             "mAP@.5 %.4f  mAP@.5:.95 %.4f", result["map50"],
             result["map50_95"],
         )
+        # COCO-protocol tables (counterpart of the reference's torchmetrics
+        # mAP/mAR tables, det_trainer.py:150-177)
+        coco = self.evaluator.summarize_coco()
+        map_table = RichTable("Average Precision (AP)")
+        map_table.add_headers(
+            ["mAP", "mAP(.50)", "mAP(.75)", "mAP(small)", "mAP(medium)",
+             "mAP(large)"]
+        )
+        map_table.add_content([[
+            round(coco["map"], 3), round(coco["map_50"], 3),
+            round(coco["map_75"], 3), round(coco["map_small"], 3),
+            round(coco["map_medium"], 3), round(coco["map_large"], 3),
+        ]])
+        mar_table = RichTable("Average Recall (AR)")
+        mar_table.add_headers(
+            ["mAR", "mAR(max=10)", "mAR(max=100)", "mAR(small)",
+             "mAR(medium)", "mAR(large)"]
+        )
+        mar_table.add_content([[
+            round(coco["mar_1"], 3), round(coco["mar_10"], 3),
+            round(coco["mar_100"], 3), round(coco["mar_small"], 3),
+            round(coco["mar_medium"], 3), round(coco["mar_large"], 3),
+        ]])
+        logger.info("\n%s", map_table.table)
+        logger.info("\n%s", mar_table.table)
+        result["coco"] = coco
         return result
 
     def _export_best_weights(self, map50: float):
