@@ -64,28 +64,34 @@ def main():
     )
     drawer = Drawing(COCO)
 
-    is_image = args.path.lower().endswith(
-        (".jpg", ".jpeg", ".png", ".bmp", ".webp")
-    )
+    from vision_kit_tpu.utils.readers import IMAGE_EXT, ImageReader, VideoReader
+
+    is_image = os.path.isdir(args.path) or args.path.lower().endswith(IMAGE_EXT)
     if is_image:
-        bgr = cv2.imread(args.path)
-        assert bgr is not None, f"cannot read {args.path}"
-        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
-        predictor.warmup(rgb.shape[:2])
-        dets, ms = predictor(rgb)
-        print(f"{len(dets)} detections in {ms:.2f} ms (fused e2e)")
-        out = drawer.draw(bgr, dets)
-        out_path = args.output or os.path.splitext(args.path)[0] + "_out.jpg"
-        cv2.imwrite(out_path, out)
-        print(f"saved {out_path}")
+        reader = ImageReader(
+            args.path,
+            save_path=args.output
+            or (args.path if os.path.isdir(args.path)
+                else os.path.dirname(args.path) or "."),
+        )
+        warm = False
+        for (ok, bgr), path in zip(reader, reader.files):
+            if not ok:
+                print(f"cannot read {path}")
+                continue
+            rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+            if not warm:
+                predictor.warmup(rgb.shape[:2])
+                warm = True
+            dets, ms = predictor(rgb)
+            print(f"{path}: {len(dets)} detections in {ms:.2f} ms (fused e2e)")
+            out_path = reader.save(drawer.draw(bgr, dets), path)
+            print(f"saved {out_path}")
     else:
-        src = int(args.path) if args.path.isdigit() else args.path
-        cap = cv2.VideoCapture(src)
-        assert cap.isOpened(), f"cannot open {args.path}"
-        writer = None
+        reader = VideoReader(args.path, save_path=args.output)
+        assert reader.cap.isOpened(), f"cannot open {args.path}"
         n, total_ms = 0, 0.0
-        while True:
-            ok, bgr = cap.read()
+        for ok, bgr in reader:
             if not ok:
                 break
             rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
@@ -94,22 +100,14 @@ def main():
             total_ms += ms
             out = drawer.draw(bgr, dets)
             if args.output:
-                if writer is None:
-                    writer = cv2.VideoWriter(
-                        args.output, cv2.VideoWriter_fourcc(*"mp4v"),
-                        cap.get(cv2.CAP_PROP_FPS) or 30,
-                        (out.shape[1], out.shape[0]),
-                    )
-                writer.write(out)
+                reader.save(out)
             if args.show:
                 cv2.imshow("vision-kit-tpu", out)
                 if cv2.waitKey(1) & 0xFF == ord("q"):
                     break
             if n % 30 == 0:
                 print(f"frame {n}: {ms:.1f} ms ({1000 * n / total_ms:.1f} fps avg)")
-        cap.release()
-        if writer:
-            writer.release()
+        reader.stop()
         if n:
             print(f"avg {total_ms / n:.2f} ms/frame over {n} frames")
 

@@ -1,0 +1,111 @@
+"""Tests for the auxiliary block-zoo entries (DWConv, DWConvTranspose2d,
+Concat, MP, SP) and the demo I/O readers."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_dwconv_shapes_and_grouping():
+    from vision_kit_tpu.models.layers import DWConv
+
+    m = DWConv(outs=16, kernel=3, stride=2)
+    x = jnp.ones((1, 8, 8, 16))
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (1, 4, 4, 16)
+    # depthwise: kernel has in-feature dim ins/groups == 1
+    k = v["params"]["conv"]["conv"]["kernel"]
+    assert k.shape == (3, 3, 1, 16)
+
+
+@pytest.mark.parametrize("k,s,p,po", [(2, 2, 0, 0), (3, 2, 1, 1), (4, 2, 1, 0)])
+def test_dwconv_transpose_matches_torch(k, s, p, po):
+    import torch
+
+    from vision_kit_tpu.models.layers import DWConvTranspose2d
+
+    c, hw = 8, 6
+    tm = torch.nn.ConvTranspose2d(
+        c, c, k, stride=s, padding=p, output_padding=po, groups=c
+    )
+    x = np.random.default_rng(0).normal(size=(1, c, hw, hw)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+
+    m = DWConvTranspose2d(outs=c, kernel=k, stride=s, padding=p, padding_out=po)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    v = m.init(jax.random.PRNGKey(0), xj)
+    # torch weight (in, out/groups, kh, kw) -> (kh, kw, 1, c); the module
+    # flips spatially internally (transposed-conv semantics), so the raw
+    # torch layout converts by pure transpose
+    w = tm.weight.detach().numpy()  # (c, 1, k, k), groups=c
+    wj = w.transpose(2, 3, 1, 0)  # (k, k, 1, c)
+    params = {"params": {"kernel": jnp.asarray(wj),
+                         "bias": jnp.asarray(tm.bias.detach().numpy())}}
+    y = m.apply(params, xj)
+    assert y.shape[1:3] == ref.shape[2:], (y.shape, ref.shape)
+    np.testing.assert_allclose(
+        np.asarray(y).transpose(0, 3, 1, 2), ref, atol=1e-5
+    )
+
+
+def test_concat_mp_sp():
+    from vision_kit_tpu.models.layers import MP, SP, Concat
+
+    x = jnp.arange(32, dtype=jnp.float32).reshape(1, 4, 4, 2)
+    y = Concat()([x, x])
+    assert y.shape == (1, 4, 4, 4)
+    z = MP().apply({}, x) if hasattr(MP(), "apply") else MP()(x)
+    z = MP()(x)
+    assert z.shape == (1, 2, 2, 2)
+    s = SP()(x)
+    assert s.shape == x.shape
+    # SP is 3x3 max with SAME pad: interior equals local max
+    import torch
+
+    ref = torch.nn.functional.max_pool2d(
+        torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2)), 3, 1, 1
+    ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(s), ref)
+
+
+def test_image_reader(tmp_path):
+    import cv2
+
+    from vision_kit_tpu.utils.readers import ImageReader
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(3):
+        cv2.imwrite(str(d / f"x{i}.jpg"), np.full((8, 8, 3), i * 10, np.uint8))
+    (d / "skip.txt").write_text("not an image")
+    r = ImageReader(str(d), save_path=str(tmp_path / "out"))
+    frames = [img for ok, img in r if ok]
+    assert len(r) == 3 and len(frames) == 3
+    out = r.save(frames[0], "x0.jpg")
+    assert out.endswith("x0_res.jpg")
+    import os
+
+    assert os.path.exists(out)
+
+
+def test_video_reader(tmp_path):
+    import cv2
+
+    from vision_kit_tpu.utils.readers import VideoReader
+
+    path = str(tmp_path / "v.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (32, 24))
+    for i in range(5):
+        w.write(np.full((24, 32, 3), i * 20, np.uint8))
+    w.release()
+
+    for threaded in (False, True):
+        r = VideoReader(path, use_thread=threaded)
+        n = sum(1 for ok, f in r if ok)
+        assert n == 5, (threaded, n)
+        assert len(r) == 5
+        r.stop()

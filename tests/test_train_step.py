@@ -99,3 +99,55 @@ def test_graft_entry_dryrun():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_spatial_partition_matches_single_device():
+    """dp x sp: (4 data, 2 model) mesh with image height sharded over the
+    model axis must reproduce the single-device update (XLA SPMD inserts the
+    conv halo exchanges)."""
+    from vision_kit_tpu.parallel.mesh import spatial_sharding
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    # img=128: keeps >= 2 rows per model shard on the stride-32 map (the
+    # documented spatial-partitioning constraint, see make_train_step)
+    model, loss, tx, state, batch = _setup(batch=4, img=128)
+
+    step_single = make_train_step(model, loss, tx, donate=False)
+    s1, m1 = step_single(state, batch)
+
+    step_sp = make_train_step(
+        model, loss, tx, mesh=mesh, donate=False, spatial=True
+    )
+    sharded = {
+        "image": jax.device_put(batch["image"], spatial_sharding(mesh)),
+        "targets": jax.device_put(
+            batch["targets"], jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("data"))
+        ),
+    }
+    s2, m2 = step_sp(jax.device_put(state, replicated_sharding(mesh)), sharded)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    l1 = jax.tree_util.tree_leaves(s1.params)[3]
+    l2 = jax.tree_util.tree_leaves(s2.params)[3]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4,
+                               atol=1e-6)
+
+
+def test_spatial_eval_step():
+    from vision_kit_tpu.parallel.mesh import spatial_sharding
+    from vision_kit_tpu.train.step import make_eval_step
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    model, loss, tx, state, batch = _setup(batch=4)
+    ev_sp = make_eval_step(model, mesh=mesh, spatial=True,
+                           postprocess_kwargs=dict(max_cand=256))
+    ev_1 = make_eval_step(model, postprocess_kwargs=dict(max_cand=256))
+    imgs = jnp.asarray(batch["image"])
+    d1, v1 = ev_1(state, imgs)
+    d2, v2 = ev_sp(
+        jax.device_put(state, replicated_sharding(mesh)),
+        jax.device_put(imgs, spatial_sharding(mesh)),
+    )
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-4,
+                               atol=1e-4)

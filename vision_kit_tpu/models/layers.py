@@ -140,8 +140,29 @@ class DWConvModule(nn.Module):
         return x
 
 
+def _shift_max_1d(x, kernel: int, axis: int):
+    """k-window max along one spatial axis via shifted jnp.maximum chain."""
+    p = kernel // 2
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (p, p)
+    xp = jnp.pad(x, pad, constant_values=-jnp.inf)
+    n = x.shape[axis]
+    out = jax.lax.slice_in_dim(xp, 0, n, axis=axis)
+    for i in range(1, kernel):
+        out = jnp.maximum(out, jax.lax.slice_in_dim(xp, i, i + n, axis=axis))
+    return out
+
+
 def max_pool_same(x, kernel: int, stride: int = 1):
-    """MaxPool with torch-style symmetric padding k//2 (stride-1 'SAME')."""
+    """MaxPool with torch-style symmetric padding k//2 (stride-1 'SAME').
+
+    Stride-1 pools are computed as separable shifted-max chains rather than
+    reduce_window: the VJP is then elementwise selects instead of
+    select-and-scatter, which (a) fuses better and (b) partitions correctly
+    under spatial SPMD sharding (select-and-scatter across halo rows
+    miscounts gradient contributions on some backends)."""
+    if stride == 1:
+        return _shift_max_1d(_shift_max_1d(x, kernel, 1), kernel, 2)
     p = kernel // 2
     return nn.max_pool(
         x,
@@ -446,6 +467,94 @@ class MPx3Conv(nn.Module):
             self.outs, 3, 2, act=self.act, dtype=self.dtype, name="conv3"
         )(x2, training)
         return x3, x1
+
+
+class DWConv(nn.Module):
+    """Depthwise Conv+BN+act, groups == channels (reference blocks.py:81 —
+    there a ConvBnAct with g=gcd(ins, outs); here outs must be a multiple of
+    ins, the only configuration the reference ever instantiates)."""
+
+    outs: int
+    kernel: int = 1
+    stride: int = 1
+    act: str = "silu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        ins = x.shape[-1]
+        return ConvBnAct(
+            self.outs, self.kernel, self.stride, groups=ins, act=self.act,
+            dtype=self.dtype, name="conv",
+        )(x, training)
+
+
+class DWConvTranspose2d(nn.Module):
+    """Depthwise transposed conv (reference blocks.py:97). NHWC; grouped
+    transpose convolution expressed as feature_group_count on the gradient
+    conv."""
+
+    outs: int
+    kernel: int = 1
+    stride: int = 1
+    padding: int = 0
+    padding_out: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ins = x.shape[-1]
+        k, s, p, po = self.kernel, self.stride, self.padding, self.padding_out
+        # transposed conv as an input-dilated correlation with the spatially
+        # flipped kernel: out = (in-1)*s - 2p + k + po (torch semantics;
+        # output_padding lands on the bottom/right edge).
+        kernel = self.param(
+            "kernel", conv_kernel_init, (k, k, 1, self.outs), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.outs,), jnp.float32)
+        pad = (k - 1 - p, k - 1 - p + po)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            jnp.flip(kernel, (0, 1)).astype(self.dtype),
+            window_strides=(1, 1),
+            padding=(pad, pad),
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=ins,
+        )
+        return y + bias.astype(self.dtype)
+
+
+class Concat(nn.Module):
+    """Channel concat as a module (reference blocks.py:112). Functionally
+    jnp.concatenate; exists so graph definitions mirror the reference."""
+
+    axis: int = -1
+
+    def __call__(self, xs):
+        return jnp.concatenate(list(xs), axis=self.axis)
+
+
+class MP(nn.Module):
+    """MaxPool k=2 s=2 (reference blocks.py:121)."""
+
+    kernel: int = 2
+
+    def __call__(self, x):
+        return nn.max_pool(
+            x, (self.kernel, self.kernel), strides=(self.kernel, self.kernel),
+            padding="VALID",
+        )
+
+
+class SP(nn.Module):
+    """Stride-1 'same' MaxPool (reference blocks.py:130)."""
+
+    kernel: int = 3
+    stride: int = 1
+
+    def __call__(self, x):
+        return max_pool_same(x, self.kernel, self.stride)
 
 
 class Implicit(nn.Module):

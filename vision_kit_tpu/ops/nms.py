@@ -184,9 +184,15 @@ def postprocess(
     max_det = min(max_det, max_cand)
 
     def per_image(box_i, conf_i):
+        # candidate selection runs in the input dtype (bf16-safe: confs are
+        # in [0,1], boxes <= ~1280 px); everything after the top-k is cast to
+        # fp32 so the class-offset IoU math stays exact. For bf16 decoded
+        # inputs this halves the postprocess HBM traffic vs casting the full
+        # (N, 5+nc) tensor up front.
+        neg = jnp.asarray(NEG_INF, conf_i.dtype)
         if use_multi:
             flat = conf_i.reshape(-1)                      # (N*nc,)
-            gated = jnp.where(flat > conf_thres, flat, NEG_INF)
+            gated = jnp.where(flat > conf_thres, flat, neg)
             top_s, top_i = jax.lax.top_k(gated, max_cand)
             box_idx = top_i // nc
             cls_idx = (top_i % nc).astype(jnp.float32)
@@ -194,10 +200,12 @@ def postprocess(
         else:
             best = jnp.max(conf_i, axis=-1)                # (N,)
             best_cls = jnp.argmax(conf_i, axis=-1)
-            gated = jnp.where(best > conf_thres, best, NEG_INF)
+            gated = jnp.where(best > conf_thres, best, neg)
             top_s, top_i = jax.lax.top_k(gated, max_cand)
             cls_idx = jnp.take(best_cls, top_i).astype(jnp.float32)
             cand_boxes = jnp.take(box_i, top_i, axis=0)
+        top_s = top_s.astype(jnp.float32)
+        cand_boxes = cand_boxes.astype(jnp.float32)
 
         offset = 0.0 if agnostic else cls_idx[:, None] * MAX_WH
         nms_boxes = cand_boxes + offset

@@ -46,6 +46,17 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC images: batch over the data axis AND height over the model axis.
+
+    This is spatial partitioning (the conv-net analog of sequence
+    parallelism, SURVEY.md §5): XLA SPMD propagates the H sharding through
+    every conv/pool and inserts halo exchanges (collective-permute of the
+    kernel-overlap rows) over ICI automatically. Use when per-chip batch
+    would be < 1 or activations of large images exceed HBM."""
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

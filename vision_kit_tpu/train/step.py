@@ -23,7 +23,11 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from vision_kit_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from vision_kit_tpu.parallel.mesh import (
+    batch_sharding,
+    replicated_sharding,
+    spatial_sharding,
+)
 from vision_kit_tpu.train.ema import EMAState, ema_init, ema_update
 from vision_kit_tpu.train.losses import YoloLoss
 
@@ -48,15 +52,31 @@ def create_train_state(model, variables, tx) -> TrainState:
     )
 
 
-def make_train_step(model, loss_fn: YoloLoss, tx, mesh=None, donate=True):
+def make_train_step(model, loss_fn: YoloLoss, tx, mesh=None, donate=True,
+                    spatial=False):
     """Build the jitted train step.
 
     batch: {"image": (B, H, W, 3) float in [0,1], "targets": (B, M, 5)}.
     Returns (state', metrics dict).
+
+    spatial=True additionally shards the image height over the "model" mesh
+    axis (spatial partitioning): the conv stack runs height-split with XLA
+    SPMD halo exchanges, and the loss consumes the re-gathered head maps.
+    Requires mesh. Use when the model axis has size > 1.
+
+    Constraint: the deepest feature map (H/32 rows) must keep >= 2 rows per
+    model-axis shard, i.e. input H >= 64 * mesh.shape["model"] — below that
+    the 3x3-conv halo equals the whole shard and XLA SPMD's halo-exchange
+    gradient is wrong (verified: exact parity at >= 2 rows/shard, divergent
+    at 1 row/shard).
     """
 
     def train_step(state: TrainState, batch):
         imgs, targets = batch["image"], batch["targets"]
+        if spatial:
+            imgs = jax.lax.with_sharding_constraint(
+                imgs, spatial_sharding(mesh)
+            )
 
         def compute_loss(params):
             preds, mutated = model.apply(
@@ -65,6 +85,18 @@ def make_train_step(model, loss_fn: YoloLoss, tx, mesh=None, donate=True):
                 training=True,
                 mutable=["batch_stats"],
             )
+            if spatial:
+                # re-gather the (small) head maps to batch-only sharding:
+                # the conv stack ran height-split, but the assigner's
+                # gather/scatter along grid cells should see whole maps
+                # (scatter across a sharded axis is both slower and, on some
+                # backends, numerically unstable under SPMD)
+                preds = jax.tree_util.tree_map(
+                    lambda p: jax.lax.with_sharding_constraint(
+                        p, batch_sharding(mesh)
+                    ),
+                    preds,
+                )
             total, parts = loss_fn(preds, targets)
             return total, (parts, mutated["batch_stats"])
 
@@ -94,20 +126,23 @@ def make_train_step(model, loss_fn: YoloLoss, tx, mesh=None, donate=True):
         return new_state, metrics
 
     if mesh is None:
+        if spatial:
+            raise ValueError("spatial=True requires a mesh")
         return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
     repl = replicated_sharding(mesh)
-    data = batch_sharding(mesh)
+    data = spatial_sharding(mesh) if spatial else batch_sharding(mesh)
+    batch_shardings = {"image": data, "targets": batch_sharding(mesh)}
     return jax.jit(
         train_step,
-        in_shardings=(repl, data),
+        in_shardings=(repl, batch_shardings),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
     )
 
 
 def make_eval_step(model, mesh=None, use_ema: bool = True,
-                   postprocess_kwargs: dict | None = None):
+                   postprocess_kwargs: dict | None = None, spatial=False):
     """Eval step: forward (EMA weights by default, like the reference's
     validation path det_trainer.py:57-70) + device-side decode & NMS.
 
@@ -123,6 +158,10 @@ def make_eval_step(model, mesh=None, use_ema: bool = True,
         kwargs.update(postprocess_kwargs)
 
     def eval_step(state: TrainState, imgs):
+        if spatial:
+            imgs = jax.lax.with_sharding_constraint(
+                imgs, spatial_sharding(mesh)
+            )
         tree = state.ema.tree if use_ema else {
             "params": state.params, "batch_stats": state.batch_stats
         }
@@ -134,10 +173,14 @@ def make_eval_step(model, mesh=None, use_ema: bool = True,
         return postprocess(decoded, **kwargs)
 
     if mesh is None:
+        if spatial:
+            raise ValueError("spatial=True requires a mesh")
         return jax.jit(eval_step)
 
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
+    imgs_sharding = spatial_sharding(mesh) if spatial else data
     return jax.jit(
-        eval_step, in_shardings=(repl, data), out_shardings=(data, data)
+        eval_step, in_shardings=(repl, imgs_sharding),
+        out_shardings=(data, data)
     )
