@@ -29,6 +29,10 @@ def main(cfg, opt):
     evaluator = DetEvaluator(
         class_labels=list(cfg.data.class_labels),
         img_size=tuple(cfg.model.input_size),
+        # optional: COCO gt annotations json enables the pycocotools-style
+        # evaluation path (reference det_evaluator.py:105,246-271 — which the
+        # reference CLI never actually wires up; we expose it via config)
+        gt_json=getattr(cfg.data, "gt_json", None),
     )
 
     ckpt_path = None

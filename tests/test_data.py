@@ -142,3 +142,20 @@ def test_val_loader_batches(yolo_dir):
     for b in batches:
         assert b["image"].shape == (3, 128, 128, 3)
         assert len(b["info"]) == 3
+
+
+def test_concat_dataset(yolo_dir):
+    from vision_kit_tpu.data.datasets import ConcatDataset, MixConcatDataset
+
+    ds = YOLODataset(yolo_dir, img_size=64)
+    cat = ConcatDataset([ds, ds])
+    assert len(cat) == 2 * len(ds)
+    img0, lab0, hw0, _ = cat.pull_item(0)
+    imgN, labN, hwN, _ = cat.pull_item(len(ds))
+    np.testing.assert_array_equal(img0, imgN)
+    np.testing.assert_array_equal(lab0, labN)
+
+    mix = MixConcatDataset([ds, ds])
+    img_t, lab_t, _, _ = mix.pull_item((True, 1))
+    img_i, lab_i, _, _ = mix.pull_item(1)
+    np.testing.assert_array_equal(img_t, img_i)

@@ -246,3 +246,50 @@ class COCODataset:
         labels = item["labels"].copy()
         labels[:, :4] *= r
         return img, labels, (h0, w0), item["id"]
+
+
+class ConcatDataset:
+    """Concatenation of datasets sharing the pull_item contract
+    (counterpart of reference data/datasets/datasets_wrapper.py:12-31)."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        assert self.datasets, "ConcatDataset needs at least one dataset"
+        self.cum = np.cumsum([len(d) for d in self.datasets]).tolist()
+        self.input_dim = self.datasets[0].input_dim
+
+    def __len__(self):
+        return self.cum[-1]
+
+    def _locate(self, idx: int):
+        if idx < 0:
+            idx += len(self)
+        ds = int(np.searchsorted(self.cum, idx, side="right"))
+        prev = 0 if ds == 0 else self.cum[ds - 1]
+        return self.datasets[ds], idx - prev
+
+    def load_anno(self, idx: int):
+        d, i = self._locate(idx)
+        return d.load_anno(i)
+
+    def pull_item(self, idx: int):
+        d, i = self._locate(idx)
+        img, labels, hw0, _ = d.pull_item(i)
+        return img, labels, hw0, idx
+
+
+class MixConcatDataset(ConcatDataset):
+    """ConcatDataset variant whose indices may arrive as (flag, idx) tuples
+    from a mosaic-toggling batch sampler (reference datasets_wrapper.py:34-59
+    — there the tuple's last element is the real index)."""
+
+    def pull_item(self, index):
+        idx = index[-1] if isinstance(index, (tuple, list)) else index
+        return super().pull_item(idx)
+
+
+class CustomDataset(YOLODataset):
+    """Extension template (counterpart of the reference's non-functional
+    data/datasets/custom.py stub): subclass and override `_load_labels` /
+    `pull_item` for bespoke on-disk formats; everything downstream (mosaic,
+    loader, evaluator) only uses the pull_item contract."""

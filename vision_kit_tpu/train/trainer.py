@@ -110,7 +110,8 @@ class Trainer:
             ),
         )
         self.evaluator = evaluator or DetEvaluator(
-            list(cfg.data.class_labels), self.img_size
+            list(cfg.data.class_labels), self.img_size,
+            gt_json=getattr(cfg.data, "gt_json", None),
         )
         self.steps_per_epoch = steps_per_epoch
         self.best_map50 = -1.0
@@ -125,6 +126,24 @@ class Trainer:
                 self.tb = SummaryWriter(os.path.join(self.output_dir, "tb"))
             except Exception:
                 self.tb = None
+        # WandB (project "VisionKit", reference training_helpers.py:118-129),
+        # gated on availability like the TB writer above
+        self.wandb = None
+        try:
+            import wandb
+
+            self.wandb = wandb.init(
+                project="VisionKit", dir=self.output_dir,
+                config=dict(cfg), reinit=True,
+            )
+        except Exception:
+            self.wandb = None
+
+    def _log_scalar(self, name: str, value: float, step: int):
+        if self.tb:
+            self.tb.add_scalar(name, value, step)
+        if self.wandb:
+            self.wandb.log({name: value}, step=step)
 
     # -- data -------------------------------------------------------------
     def _build_loaders(self):
@@ -228,8 +247,7 @@ class Trainer:
                 float(losses["loss_cls"]), dt,
                 self.steps_per_epoch * self.batch_size / dt,
             )
-            if self.tb:
-                self.tb.add_scalar("loss", float(losses["loss"]), epoch)
+            self._log_scalar("loss", float(losses["loss"]), epoch)
 
             if (epoch + 1) % self.val_interval == 0:
                 result = self.validate()
@@ -238,9 +256,8 @@ class Trainer:
                     "epoch %d mAP@.5 %.4f mAP@.5:.95 %.4f",
                     epoch + 1, map50, result["map50_95"],
                 )
-                if self.tb:
-                    self.tb.add_scalar("mAP@.5", map50, epoch)
-                    self.tb.add_scalar("mAP@.5:.95", result["map50_95"], epoch)
+                self._log_scalar("mAP@.5", map50, epoch)
+                self._log_scalar("mAP@.5:.95", result["map50_95"], epoch)
                 if map50 > self.best_map50:
                     self.best_map50 = map50
                     self.epochs_no_improve = 0
@@ -315,6 +332,10 @@ class Trainer:
         logger.info("\n%s", map_table.table)
         logger.info("\n%s", mar_table.table)
         result["coco"] = coco
+        if self.evaluator.gt_json:
+            info = self.evaluator.coco_evaluate()
+            if info:
+                logger.info("\n%s", info)
         return result
 
     def _export_best_weights(self, map50: float):
