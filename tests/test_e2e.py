@@ -57,6 +57,22 @@ def test_predictor_batch_consistency(tiny_model):
     np.testing.assert_array_equal(d1, d2)
 
 
+def test_predict_batch_matches_single(tiny_model):
+    """predict_batch runs the whole batch as one program and must agree
+    with the per-image path."""
+    model, variables = tiny_model
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 255, (3, 200, 300, 3), dtype=np.uint8)
+    pred = Predictor(model, variables, img_size=192, conf_thres=0.01,
+                     max_cand=256, max_det=50)
+    batch_dets, _ = pred.predict_batch(imgs)
+    assert len(batch_dets) == 3
+    for i in range(3):
+        single, _ = pred(imgs[i])
+        np.testing.assert_allclose(batch_dets[i], single, rtol=1e-5,
+                                   atol=1e-4)
+
+
 def test_export_stablehlo(tiny_model):
     """Export path: lowering the fixed-shape inference program to StableHLO
     text (the TPU-native analog of the reference's ONNX export)."""

@@ -56,14 +56,18 @@ def run(batch, chunk, iters, max_cand):
     return batch * chunk * iters / dt
 
 
+CONFIGS = (
+    (128, 8, 4, 1024),
+    (256, 4, 4, 1024),
+    (256, 8, 2, 1024),
+    (128, 8, 4, 512),
+    (64, 16, 4, 1024),
+)
+
+
 def main():
-    for batch, chunk, iters, max_cand in (
-        (128, 8, 4, 1024),
-        (256, 4, 4, 1024),
-        (256, 8, 2, 1024),
-        (128, 8, 4, 512),
-        (64, 16, 4, 1024),
-    ):
+    sel = [int(a) for a in sys.argv[1:]] or range(len(CONFIGS))
+    for batch, chunk, iters, max_cand in (CONFIGS[i] for i in sel):
         try:
             ips = run(batch, chunk, iters, max_cand)
             print(json.dumps({

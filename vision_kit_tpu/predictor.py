@@ -50,17 +50,15 @@ class Predictor:
         self.multi_label = multi_label
         self._fns: dict = {}
 
-    def _build(self, src_hw: tuple[int, int]):
-        """Compile the fused program for one source resolution."""
+    def _build(self, src_hw: tuple[int, int], batch: int = 1):
+        """Compile the fused program for one (source resolution, batch)."""
         dst = self.img_size
         _, _, ratio, pad = letterbox_params(src_hw, dst)
 
         @jax.jit
-        def run(img_u8):
-            x, _ = letterbox_device(img_u8, dst)
-            decoded, _ = self.model.apply(
-                self.variables, x[None], training=False
-            )
+        def run(imgs_u8):
+            x = jax.vmap(lambda im: letterbox_device(im, dst)[0])(imgs_u8)
+            decoded, _ = self.model.apply(self.variables, x, training=False)
             dets, valid = postprocess(
                 decoded,
                 conf_thres=self.conf_thres,
@@ -79,15 +77,16 @@ class Predictor:
                 jnp.array([w0, h0, w0, h0]),
             )
             dets = jnp.concatenate([boxes, dets[..., 4:]], axis=-1)
-            return dets[0], valid[0]
+            return dets, valid
 
         return run
 
-    def warmup(self, src_hw: tuple[int, int]):
-        fn = self._fns.get(src_hw)
+    def warmup(self, src_hw: tuple[int, int], batch: int = 1):
+        key = (tuple(src_hw), batch)
+        fn = self._fns.get(key)
         if fn is None:
-            fn = self._fns[src_hw] = self._build(src_hw)
-        dummy = jnp.zeros((*src_hw, 3), jnp.uint8)
+            fn = self._fns[key] = self._build(tuple(src_hw), batch)
+        dummy = jnp.zeros((batch, *src_hw, 3), jnp.uint8)
         jax.block_until_ready(fn(dummy))
         return fn
 
@@ -95,15 +94,33 @@ class Predictor:
         """img_rgb: HWC uint8. Returns (dets (n, 6) np [xyxy conf cls],
         elapsed_ms)."""
         src_hw = img_rgb.shape[:2]
-        fn = self._fns.get(src_hw)
+        key = (src_hw, 1)
+        fn = self._fns.get(key)
         if fn is None:
             fn = self.warmup(src_hw)
         t0 = time.perf_counter()
-        dets, valid = fn(jnp.asarray(img_rgb))
+        dets, valid = fn(jnp.asarray(img_rgb)[None])
+        dets = np.asarray(dets)[0]
+        valid = np.asarray(valid)[0]
+        ms = (time.perf_counter() - t0) * 1000
+        return dets[valid], ms
+
+    def predict_batch(self, imgs_rgb: np.ndarray):
+        """imgs_rgb: (B, H, W, 3) uint8, one source resolution. Returns
+        (list of (n_i, 6) arrays, elapsed_ms) — the whole batch is one
+        program execution (the batched demo/serving path)."""
+        imgs_rgb = np.asarray(imgs_rgb)
+        batch, h, w = imgs_rgb.shape[:3]
+        key = ((h, w), batch)
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = self.warmup((h, w), batch)
+        t0 = time.perf_counter()
+        dets, valid = fn(jnp.asarray(imgs_rgb))
         dets = np.asarray(dets)
         valid = np.asarray(valid)
         ms = (time.perf_counter() - t0) * 1000
-        return dets[valid], ms
+        return [dets[i][valid[i]] for i in range(batch)], ms
 
 
 def load_predictor_from_config(cfg, weights: str | None = None, **kwargs):
