@@ -59,7 +59,7 @@ def main():
             decoded, _ = model.apply(variables, x, training=False)
             dets, valid = postprocess(
                 decoded, conf_thres=0.25, iou_thres=0.45,
-                max_det=300, max_cand=1024,
+                max_det=300, max_cand=512, approx_topk=True,
             )
             carry = carry + jnp.sum(valid.astype(jnp.int32)) + jnp.sum(
                 dets[:, 0, 0].astype(jnp.int32)

@@ -109,3 +109,22 @@ def test_video_reader(tmp_path):
         assert n == 5, (threaded, n)
         assert len(r) == 5
         r.stop()
+
+
+def test_s2d_stem_exact_equivalence():
+    """The space-to-depth stem decomposition must produce the exact same
+    output as the plain 6x6/s2 conv from the same (6,6,C,O) parameter."""
+    from vision_kit_tpu.models.layers import ConvBnAct
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    plain = ConvBnAct(16, kernel=6, stride=2, padding=2)
+    s2d = ConvBnAct(16, kernel=6, stride=2, padding=2, s2d=True)
+    v = plain.init(jax.random.PRNGKey(0), x, training=False)
+    v2 = s2d.init(jax.random.PRNGKey(0), x, training=False)
+    # identical param trees (same names/shapes) -> checkpoints interchange
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    y1 = plain.apply(v, x, training=False)
+    y2 = s2d.apply(v, x, training=False)
+    assert y1.shape == y2.shape == (2, 32, 32, 16)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-5)

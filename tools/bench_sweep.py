@@ -31,7 +31,7 @@ def run(batch, chunk, iters, max_cand):
             decoded, _ = model.apply(variables, x, training=False)
             dets, valid = postprocess(
                 decoded, conf_thres=0.25, iou_thres=0.45,
-                max_det=300, max_cand=max_cand,
+                max_det=300, max_cand=max_cand, approx_topk=True,
             )
             carry = carry + jnp.sum(valid.astype(jnp.int32)) + jnp.sum(
                 dets[:, 0, 0].astype(jnp.int32)

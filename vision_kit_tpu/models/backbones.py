@@ -59,8 +59,8 @@ class CSPDarknet(nn.Module):
                        name="stem")(x, training)
         else:
             c1 = ConvBnAct(
-                base_ch, kernel=6, stride=2, padding=2, dtype=self.dtype,
-                name="stem",
+                base_ch, kernel=6, stride=2, padding=2, s2d=True,
+                dtype=self.dtype, name="stem",
             )(x, training)
 
         c2 = conv(base_ch * 2, 3, 2, "stage1_0")(c1, training)

@@ -83,8 +83,28 @@ class ConvBn(nn.Module):
         return x
 
 
+class _ConvKernel(nn.Module):
+    """Bare conv-kernel parameter holder: scoped as `<name>/kernel` so the
+    param tree matches an nn.Conv of the same name (converter-compatible)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", conv_kernel_init, self.shape, jnp.float32)
+
+
 class ConvBnAct(nn.Module):
-    """Conv + BN + activation (reference blocks.py:30)."""
+    """Conv + BN + activation (reference blocks.py:30).
+
+    s2d=True (valid for the even-kernel strided stem, k=6 s=2 p=2) computes
+    the conv through a space-to-depth decomposition: x -> (H/2, W/2, 4C),
+    kernel (6,6,C,O) -> (3,3,4C,O) with ws[a,b,(ph,pw,c)] = w[2a+ph, 2b+pw,
+    c]. Mathematically identical output (same receptive field and padding),
+    but the MXU sees a 4x wider input-channel dim and stride-1 tiling — the
+    3-channel 6x6/s2 stem is ~9x faster this way on v5e (tools/bench_micro).
+    The parameter stays (6,6,C,O) so checkpoints/converters are unchanged.
+    """
 
     outs: int
     kernel: int = 1
@@ -92,22 +112,43 @@ class ConvBnAct(nn.Module):
     padding: int | None = None
     groups: int = 1
     act: str = "silu"
+    s2d: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         p = auto_pad(self.kernel, self.padding)
-        x = nn.Conv(
-            self.outs,
-            (self.kernel, self.kernel),
-            strides=self.stride,
-            padding=[(p, p), (p, p)],
-            feature_group_count=self.groups,
-            use_bias=False,
-            kernel_init=conv_kernel_init,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        use_s2d = (
+            self.s2d and self.kernel == 6 and self.stride == 2 and p == 2
+            and self.groups == 1 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        )
+        if use_s2d:
+            c = x.shape[-1]
+            w = _ConvKernel((6, 6, c, self.outs), name="conv")()
+            b, h, wd, _ = x.shape
+            xs = x.reshape(b, h // 2, 2, wd // 2, 2, c)
+            xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, wd // 2, 4 * c)
+            ws = w.reshape(3, 2, 3, 2, c, self.outs)
+            ws = ws.transpose(0, 2, 1, 3, 4, 5).reshape(3, 3, 4 * c, self.outs)
+            x = jax.lax.conv_general_dilated(
+                xs.astype(self.dtype),
+                ws.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=[(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            x = nn.Conv(
+                self.outs,
+                (self.kernel, self.kernel),
+                strides=self.stride,
+                padding=[(p, p), (p, p)],
+                feature_group_count=self.groups,
+                use_bias=False,
+                kernel_init=conv_kernel_init,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not training,
             momentum=BN_MOMENTUM,

@@ -148,7 +148,7 @@ def _select_top(raw, scores, valid, max_det):
     jax.jit,
     static_argnames=(
         "conf_thres", "iou_thres", "multi_label", "agnostic", "max_det",
-        "max_cand",
+        "max_cand", "approx_topk",
     ),
 )
 def postprocess(
@@ -160,6 +160,7 @@ def postprocess(
     max_det: int = 300,
     max_cand: int = 1024,
     classes: jnp.ndarray | None = None,
+    approx_topk: bool = False,
 ):
     """Decoded predictions -> padded detections.
 
@@ -183,6 +184,16 @@ def postprocess(
     max_cand = min(max_cand, n * nc if use_multi else n)
     max_det = min(max_det, max_cand)
 
+    def topk(scores, k):
+        """Candidate selection. approx_topk uses the TPU-native approx_max_k
+        (recall >= 0.95 per bin, exact ordering of the returned set) — ~5x
+        cheaper than exact top_k over the 25k-anchor score vector and only
+        used for the serving path (conf-gated scores; the tail it can miss
+        is far below max_det anyway). Eval/mAP paths keep the exact top_k."""
+        if approx_topk:
+            return jax.lax.approx_max_k(scores, k, recall_target=0.95)
+        return jax.lax.top_k(scores, k)
+
     def per_image(box_i, conf_i):
         # candidate selection runs in the input dtype (bf16-safe: confs are
         # in [0,1], boxes <= ~1280 px); everything after the top-k is cast to
@@ -193,7 +204,7 @@ def postprocess(
         if use_multi:
             flat = conf_i.reshape(-1)                      # (N*nc,)
             gated = jnp.where(flat > conf_thres, flat, neg)
-            top_s, top_i = jax.lax.top_k(gated, max_cand)
+            top_s, top_i = topk(gated, max_cand)
             box_idx = top_i // nc
             cls_idx = (top_i % nc).astype(jnp.float32)
             cand_boxes = jnp.take(box_i, box_idx, axis=0)
@@ -201,7 +212,7 @@ def postprocess(
             best = jnp.max(conf_i, axis=-1)                # (N,)
             best_cls = jnp.argmax(conf_i, axis=-1)
             gated = jnp.where(best > conf_thres, best, neg)
-            top_s, top_i = jax.lax.top_k(gated, max_cand)
+            top_s, top_i = topk(gated, max_cand)
             cls_idx = jnp.take(best_cls, top_i).astype(jnp.float32)
             cand_boxes = jnp.take(box_i, top_i, axis=0)
         top_s = top_s.astype(jnp.float32)

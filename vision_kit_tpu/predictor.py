@@ -37,6 +37,7 @@ class Predictor:
         max_det: int = 300,
         max_cand: int = 1024,
         multi_label: bool = False,
+        approx_topk: bool = True,
     ):
         self.model = model
         self.variables = variables
@@ -48,6 +49,10 @@ class Predictor:
         self.max_det = max_det
         self.max_cand = max_cand
         self.multi_label = multi_label
+        # approx_max_k candidate selection: exact results whenever the
+        # conf-gated candidate count <= max_cand (the overwhelmingly common
+        # serving case); see ops/nms.py
+        self.approx_topk = approx_topk
         self._fns: dict = {}
 
     def _build(self, src_hw: tuple[int, int], batch: int = 1):
@@ -66,6 +71,7 @@ class Predictor:
                 multi_label=self.multi_label,
                 max_det=self.max_det,
                 max_cand=self.max_cand,
+                approx_topk=self.approx_topk,
             )
             # rescale to the original frame inside the same program
             boxes = dets[..., :4]
