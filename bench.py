@@ -41,13 +41,14 @@ def main():
     import jax.numpy as jnp
 
     from vision_kit_tpu.models import YOLOV5
-    from vision_kit_tpu.ops.nms import postprocess
+    from vision_kit_tpu.ops.nms import postprocess_raw
 
     size = 640
     model = YOLOV5(variant="s", num_classes=80, dtype=jnp.bfloat16)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), training=False
     )
+    anchors_px = model.anchors_px
 
     @jax.jit
     def infer_stream(images_u8, acc0):
@@ -56,9 +57,9 @@ def main():
             # normalize/forward/NMS chain is not loop-invariant
             x_u8 = images_u8 + k.astype(jnp.uint8)
             x = x_u8.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 255.0)
-            decoded, _ = model.apply(variables, x, training=False)
-            dets, valid = postprocess(
-                decoded, conf_thres=0.25, iou_thres=0.45,
+            _, raws = model.apply(variables, x, training=False)
+            dets, valid = postprocess_raw(
+                raws, anchors_px, conf_thres=0.25, iou_thres=0.45,
                 max_det=300, max_cand=512, approx_topk=True,
             )
             carry = carry + jnp.sum(valid.astype(jnp.int32)) + jnp.sum(

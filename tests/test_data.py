@@ -127,8 +127,8 @@ def test_train_loader_batches(yolo_dir):
     it = iter(loader)
     batch = next(it)
     assert batch["image"].shape == (4, 128, 128, 3)
-    assert batch["image"].dtype == np.float32
-    assert 0.0 <= batch["image"].min() and batch["image"].max() <= 1.0
+    assert batch["image"].dtype == np.uint8  # normalized on device
+    assert batch["image"].min() >= 0 and batch["image"].max() <= 255
     assert batch["targets"].shape[0] == 4 and batch["targets"].shape[2] == 5
     loader.close()
 

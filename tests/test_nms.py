@@ -114,3 +114,49 @@ def test_postprocess_multilabel_expands(rng):
         max_det=10,
     )
     assert int(np.asarray(valid).sum()) == 1
+
+
+def test_postprocess_raw_matches_decoded_path():
+    """The fused raw-head postprocess (candidate selection before decode)
+    must reproduce the decoded-path results exactly (single-label, exact
+    top-k). Uses synthetic well-spread logits: an untrained model's scores
+    are all tied at the bias prior, which only exercises tie-ordering."""
+    import jax
+    import jax.numpy as jnp
+
+    from vision_kit_tpu.ops.nms import postprocess, postprocess_raw
+
+    rng = np.random.default_rng(0)
+    nc, na, no = 12, 3, 17
+    strides = (8.0, 16.0, 32.0)
+    anchors_px = np.abs(rng.normal(30, 10, (3, na, 2))).astype(np.float32)
+    raws, decoded_levels = [], []
+    for li, (ny, nx) in enumerate(((16, 16), (8, 8), (4, 4))):
+        raw = rng.normal(0, 1.5, (2, na, ny, nx, no)).astype(np.float32)
+        raws.append(jnp.asarray(raw))
+        # manual reference decode in the head's NATIVE flatten order
+        # (b, ny, nx, na, no)
+        r = raw.transpose(0, 2, 3, 1, 4)
+        s = 1 / (1 + np.exp(-r))
+        ix = np.arange(nx, dtype=np.float32).reshape(1, 1, nx, 1)
+        iy = np.arange(ny, dtype=np.float32).reshape(1, ny, 1, 1)
+        cx = (s[..., 0] * 2 - 0.5 + ix) * strides[li]
+        cy = (s[..., 1] * 2 - 0.5 + iy) * strides[li]
+        anc = anchors_px[li].reshape(1, 1, 1, na, 2)
+        w = (s[..., 2] * 2) ** 2 * anc[..., 0]
+        h = (s[..., 3] * 2) ** 2 * anc[..., 1]
+        lvl = np.concatenate(
+            [np.stack([cx, cy, w, h], -1), s[..., 4:]], axis=-1)
+        decoded_levels.append(lvl.reshape(2, ny * nx * na, no))
+    decoded = jnp.asarray(np.concatenate(decoded_levels, axis=1))
+
+    d1, v1 = postprocess(decoded, conf_thres=0.1, iou_thres=0.5,
+                         max_det=50, max_cand=256)
+    d2, v2 = postprocess_raw(
+        raws, anchors_px, strides=strides, conf_thres=0.1, iou_thres=0.5,
+        max_det=50, max_cand=256, approx_topk=False,
+    )
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_allclose(np.asarray(d1)[np.asarray(v1)],
+                               np.asarray(d2)[np.asarray(v2)],
+                               rtol=1e-5, atol=1e-3)

@@ -132,7 +132,7 @@ class TrainLoader:
             img, lab = self._make_sample(batch_id * self.batch_size + k, idx)
             imgs.append(img)
             labels.append(lab)
-        images = np.stack(imgs).astype(np.float32) / 255.0
+        images = np.stack(imgs)  # uint8; normalized on device in the jitted step
         targets = pad_targets(labels, self.img_size, self.max_labels)
         return {"image": images, "targets": targets}
 
@@ -202,7 +202,7 @@ class ValLoader:
                 imgs.append(img2)
                 labels.append(lab2)
                 infos.append((h0, w0, r0 * r1, pad, img_id))
-            images = np.stack(imgs).astype(np.float32) / 255.0
+            images = np.stack(imgs)  # uint8; normalized on device in the jitted step
             targets = pad_targets(labels, self.img_size, self.max_labels)
             yield {
                 "image": images,

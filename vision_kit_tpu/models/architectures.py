@@ -50,6 +50,14 @@ class YOLOV5(nn.Module):
         return YoloV5Head(num_classes=self.num_classes).grid_anchors
 
     @property
+    def anchors_px(self):
+        """(nl, na, 2) pixel-unit anchors exactly as the eval decode uses
+        them (for ops.nms.postprocess_raw)."""
+        import numpy as np
+
+        return self.grid_anchors * np.asarray(self.strides).reshape(-1, 1, 1)
+
+    @property
     def strides(self):
         return (8.0, 16.0, 32.0)
 
@@ -87,6 +95,19 @@ class YOLOV7(nn.Module):
     @property
     def grid_anchors(self):
         return YoloV7Head(variant=self.variant).grid_anchors
+
+    @property
+    def anchors_px(self):
+        """v7 decode uses the RAW pixel anchors, cloned before
+        check_anchor_order (see YoloV7Head docstring)."""
+        import numpy as np
+
+        from vision_kit_tpu.models.heads import V7_ANCHORS
+
+        na = len(V7_ANCHORS[0]) // 2
+        return np.asarray(V7_ANCHORS, np.float32).reshape(
+            len(V7_ANCHORS), na, 2
+        )
 
     @property
     def strides(self):

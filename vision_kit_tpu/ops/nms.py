@@ -260,3 +260,116 @@ def batched_nms(
     offset = 0.0 if agnostic else cls[:, None] * MAX_WH
     raw = jnp.concatenate([boxes, scores[:, None], cls[:, None]], axis=-1)
     return _nms_single(boxes + offset, scores, raw, iou_thres, max_det)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "strides", "conf_thres", "iou_thres", "agnostic", "max_det",
+        "max_cand", "approx_topk",
+    ),
+)
+def postprocess_raw(
+    raws,
+    anchors_px: jnp.ndarray,
+    strides=(8.0, 16.0, 32.0),
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    agnostic: bool = False,
+    max_det: int = 300,
+    max_cand: int = 1024,
+    classes: jnp.ndarray | None = None,
+    approx_topk: bool = True,
+):
+    """Serving postprocess straight from the RAW head maps: candidate
+    selection before decode.
+
+    Key properties vs `postprocess(decoded)`:
+      * per-anchor score = sigmoid(obj) * sigmoid(max_c cls_logit) — sigmoid
+        is monotone, so argmax over raw class logits replaces the (N, nc)
+        sigmoid+multiply sweep; only 2 sigmoids per anchor touch memory.
+      * top-k runs per level on the scores; the xy/wh sigmoid-decode, grid
+        math, and cxcywh->xyxy run ONLY for the selected candidates, and the
+        head's full decode output is never consumed (XLA dead-code
+        eliminates it). Same results as the exact path for single-label NMS
+        (up to score ties).
+
+    Args:
+      raws: list of per-level (B, na, ny, nx, 5+nc) raw maps (the head's
+        training-order outputs, also returned by eval mode).
+      anchors_px: (nl, na, 2) anchors in PIXEL units.
+      classes: optional (nc,) bool mask of allowed classes.
+
+    Returns (dets (B, max_det, 6), valid (B, max_det)).
+    """
+    nl = len(raws)
+    b = raws[0].shape[0]
+    anchors_px = jnp.asarray(anchors_px, jnp.float32)
+
+    def topk(scores, k):
+        if approx_topk:
+            return jax.lax.approx_max_k(scores, k, recall_target=0.95)
+        return jax.lax.top_k(scores, k)
+
+    cand_scores, cand_boxes, cand_cls = [], [], []
+    for li in range(nl):
+        raw = raws[li]
+        _, na, ny, nx, no = raw.shape
+        n = na * ny * nx
+        k = min(max_cand, n)
+        flat = raw.reshape(b, n, no)
+        cls_logits = flat[..., 5:]
+        if classes is not None:
+            cls_logits = jnp.where(
+                classes[None, None, :], cls_logits,
+                jnp.asarray(-jnp.inf, cls_logits.dtype),
+            )
+        best_cls = jnp.argmax(cls_logits, axis=-1)              # (B, n)
+        best_logit = jnp.max(cls_logits, axis=-1)
+        score = jax.nn.sigmoid(flat[..., 4].astype(jnp.float32)) * \
+            jax.nn.sigmoid(best_logit.astype(jnp.float32))
+        neg = jnp.asarray(NEG_INF, score.dtype)
+        gated = jnp.where(score > conf_thres, score, neg)
+        top_s, top_i = jax.vmap(lambda s: topk(s, k))(gated)    # (B, k)
+
+        sel = jnp.take_along_axis(
+            flat[..., :4], top_i[..., None], axis=1
+        ).astype(jnp.float32)                                   # (B, k, 4)
+        sel_cls = jnp.take_along_axis(best_cls, top_i, axis=1)
+        # flat index (ia, iy, ix) -> grid position + anchor
+        ia = top_i // (ny * nx)
+        rem = top_i % (ny * nx)
+        iy = (rem // nx).astype(jnp.float32)
+        ix = (rem % nx).astype(jnp.float32)
+        s = jax.nn.sigmoid(sel)
+        stride = float(strides[li])
+        cx = (s[..., 0] * 2.0 - 0.5 + ix) * stride
+        cy = (s[..., 1] * 2.0 - 0.5 + iy) * stride
+        anc = anchors_px[li][ia]                                 # (B, k, 2)
+        w = (s[..., 2] * 2.0) ** 2 * anc[..., 0]
+        h = (s[..., 3] * 2.0) ** 2 * anc[..., 1]
+        cand_boxes.append(jnp.stack(
+            [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1))
+        cand_scores.append(top_s.astype(jnp.float32))
+        cand_cls.append(sel_cls)
+
+    boxes = jnp.concatenate(cand_boxes, axis=1)
+    scores = jnp.concatenate(cand_scores, axis=1)
+    cls = jnp.concatenate(cand_cls, axis=1).astype(jnp.float32)
+
+    # global candidate cut + score-desc order for the greedy NMS
+    k = min(max_cand, scores.shape[1])
+    top_s, top_i = jax.vmap(lambda s: jax.lax.top_k(s, k))(scores)
+    boxes = jnp.take_along_axis(boxes, top_i[..., None], axis=1)
+    cls = jnp.take_along_axis(cls, top_i, axis=1)
+
+    offset = 0.0 if agnostic else cls[..., None] * MAX_WH
+    valid_cand = top_s > NEG_INF / 2
+    keep = jax.vmap(
+        lambda bx, v: _greedy_keep_blocked(bx, v, iou_thres)
+    )(boxes + offset, valid_cand)
+    keep = keep & valid_cand
+    raw_rows = jnp.concatenate(
+        [boxes, top_s[..., None], cls[..., None]], axis=-1)
+    return jax.vmap(partial(_select_top, max_det=min(max_det, k)))(
+        raw_rows, top_s, keep)

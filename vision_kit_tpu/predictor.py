@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from vision_kit_tpu.ops.letterbox import letterbox_device, letterbox_params
-from vision_kit_tpu.ops.nms import postprocess
+from vision_kit_tpu.ops.nms import postprocess, postprocess_raw
 
 
 class Predictor:
@@ -60,19 +60,33 @@ class Predictor:
         dst = self.img_size
         _, _, ratio, pad = letterbox_params(src_hw, dst)
 
+        anchors_px = getattr(self.model, "anchors_px", None)
+        strides = tuple(getattr(self.model, "strides", (8.0, 16.0, 32.0)))
+
         @jax.jit
         def run(imgs_u8):
             x = jax.vmap(lambda im: letterbox_device(im, dst)[0])(imgs_u8)
-            decoded, _ = self.model.apply(self.variables, x, training=False)
-            dets, valid = postprocess(
-                decoded,
-                conf_thres=self.conf_thres,
-                iou_thres=self.iou_thres,
-                multi_label=self.multi_label,
-                max_det=self.max_det,
-                max_cand=self.max_cand,
-                approx_topk=self.approx_topk,
-            )
+            decoded, raws = self.model.apply(self.variables, x, training=False)
+            if anchors_px is not None and not self.multi_label:
+                # fused serving path: candidate selection on raw head maps,
+                # decode only the survivors; the head's full decode is
+                # dead-code-eliminated by XLA (ops/nms.py postprocess_raw)
+                dets, valid = postprocess_raw(
+                    raws, anchors_px, strides=strides,
+                    conf_thres=self.conf_thres, iou_thres=self.iou_thres,
+                    max_det=self.max_det, max_cand=self.max_cand,
+                    approx_topk=self.approx_topk,
+                )
+            else:
+                dets, valid = postprocess(
+                    decoded,
+                    conf_thres=self.conf_thres,
+                    iou_thres=self.iou_thres,
+                    multi_label=self.multi_label,
+                    max_det=self.max_det,
+                    max_cand=self.max_cand,
+                    approx_topk=self.approx_topk,
+                )
             # rescale to the original frame inside the same program
             boxes = dets[..., :4]
             boxes = (boxes - jnp.array([pad[0], pad[1], pad[0], pad[1]])) / ratio
