@@ -90,3 +90,35 @@ def test_load_lightning_style_checkpoint(tmp_path):
     torch.save(sd, path)
     loaded = load_torch_checkpoint(path)
     assert "backbone.stem.conv.weight" in loaded
+
+
+def test_partial_load_shape_checked(tmp_path):
+    """partial=True load: matching-shape leaves copied, mismatched (e.g.
+    different num_classes head) keep their fresh init (reference load_ckpt,
+    model_utils.py:126-137)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from vision_kit_tpu.models import YOLOV5
+    from vision_kit_tpu.predictor import load_weights
+
+    src_model = YOLOV5(variant="n", num_classes=80)
+    v80 = src_model.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)),
+                         training=False)
+    path = str(tmp_path / "w80.msgpack")
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(v80)))
+
+    dst_model = YOLOV5(variant="n", num_classes=7)
+    v7 = dst_model.init(jax.random.PRNGKey(2), jnp.zeros((1, 64, 64, 3)),
+                        training=False)
+    merged = load_weights(path, v7, partial=True)
+    # backbone conv copied from the 80-class checkpoint
+    a = merged["params"]["backbone"]["stem"]["conv"]["kernel"]
+    b = v80["params"]["backbone"]["stem"]["conv"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # head conv (nc-dependent shape) kept from the 7-class init
+    h = merged["params"]["head"]["m_0"]["kernel"]
+    h7 = v7["params"]["head"]["m_0"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(h), np.asarray(h7))

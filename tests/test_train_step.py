@@ -151,3 +151,35 @@ def test_spatial_eval_step():
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_train_step_bf16_descends():
+    """bf16-compute model (fp32 params) must train: the AMP counterpart."""
+    import jax.numpy as jnp
+
+    model = YOLOV5(variant="n", num_classes=7, dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=False
+    )
+    # params stay fp32 regardless of compute dtype
+    assert all(
+        l.dtype == jnp.float32
+        for l in jax.tree_util.tree_leaves(variables["params"])
+    )
+    tx = make_optimizer(variables["params"], HYP, 10, 50)
+    loss = YoloLoss(7, model.grid_anchors, HYP)
+    state = create_train_state(model, variables, tx)
+    rng = np.random.default_rng(0)
+    targets = np.full((2, 8, 5), -1, np.float32)
+    targets[:, 0] = [1, 0.5, 0.5, 0.3, 0.3]
+    batch = {
+        "image": rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32),
+        "targets": targets,
+    }
+    step = make_train_step(model, loss, tx, donate=False)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

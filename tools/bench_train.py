@@ -28,7 +28,8 @@ def main():
         "anchor_t": 4.0, "label_smoothing": 0.0,
     }
     batch, size = 32, 640
-    model = YOLOV5(variant="s", num_classes=80)
+    dtype = jnp.bfloat16 if "bf16" in sys.argv[1:] else jnp.float32
+    model = YOLOV5(variant="s", num_classes=80, dtype=dtype)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), training=False
     )

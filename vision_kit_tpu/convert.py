@@ -115,10 +115,15 @@ def torch_to_flax(
                     skip = True
                     continue
                 if tuple(tnode.shape) != tuple(arr.shape):
-                    raise ValueError(
-                        f"shape mismatch at {key}: torch {arr.shape} vs "
-                        f"model {tuple(tnode.shape)}"
-                    )
+                    if strict:
+                        raise ValueError(
+                            f"shape mismatch at {key}: torch {arr.shape} vs "
+                            f"model {tuple(tnode.shape)}"
+                        )
+                    # non-strict: shape-checked partial load (reference
+                    # model_utils.py:126-137) — keep the template's leaf
+                    skip = True
+                    continue
             if not skip:
                 insert(col, fpath, arr)
 

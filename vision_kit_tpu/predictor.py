@@ -157,19 +157,66 @@ def load_predictor_from_config(cfg, weights: str | None = None, **kwargs):
     return Predictor(model, variables, img_size=size, **kwargs)
 
 
-def load_weights(path: str, template):
-    """Load .pt (torch) or .npz/orbax weights into the variables template."""
+def load_weights(path: str, template, partial: bool = False):
+    """Load .pt (torch) or .npz/orbax weights into the variables template.
+
+    partial=True applies the reference's shape-checked partial load
+    (model_utils.py:126-137 load_ckpt): leaves whose shapes match the
+    template are copied, the rest keep the template's (fresh) values — the
+    fine-tune path when num_classes differs from the checkpoint."""
     if path.endswith((".pt", ".pth", ".ckpt")):
         from vision_kit_tpu.convert import load_torch_checkpoint, torch_to_flax
 
-        return torch_to_flax(load_torch_checkpoint(path), template=template)
+        loaded = torch_to_flax(
+            load_torch_checkpoint(path), template=template, strict=not partial
+        )
+        if partial:
+            loaded = merge_matching(template, loaded)
+        return loaded
     if path.endswith(".msgpack"):
         from flax import serialization
 
         with open(path, "rb") as f:
-            return serialization.from_bytes(template, f.read())
+            data = f.read()
+        if not partial:
+            return serialization.from_bytes(template, data)
+        # untyped restore + shape-checked merge (from_bytes does not check
+        # leaf shapes, so it cannot implement partial semantics)
+        loaded = serialization.msgpack_restore(data)
+        return merge_matching(template, loaded)
     # orbax checkpoint dir
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, template)
+    if not partial:
+        return ckptr.restore(path, template)
+    restored = ckptr.restore(path)
+    return merge_matching(template, restored)
+
+
+def merge_matching(template, loaded):
+    """Copy leaves from `loaded` into `template` where path AND shape match
+    (the reference load_ckpt semantics, model_utils.py:126-137)."""
+    import jax
+
+    flat_t = dict(jax.tree_util.tree_flatten_with_path(template)[0])
+    flat_l = dict(jax.tree_util.tree_flatten_with_path(loaded)[0])
+    kept, skipped = 0, 0
+    out = {}
+    for k, v in flat_t.items():
+        lv = flat_l.get(k)
+        if lv is not None and getattr(lv, "shape", None) == v.shape:
+            out[k] = jnp.asarray(lv, v.dtype)
+            kept += 1
+        else:
+            out[k] = v
+            skipped += 1
+    if skipped:
+        import logging
+
+        logging.getLogger("vision_kit_tpu").info(
+            "partial load: %d leaves copied, %d kept from init", kept, skipped
+        )
+    treedef = jax.tree_util.tree_structure(template)
+    keys = [k for k, _ in jax.tree_util.tree_flatten_with_path(template)[0]]
+    return jax.tree_util.tree_unflatten(treedef, [out[k] for k in keys])

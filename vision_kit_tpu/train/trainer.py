@@ -41,7 +41,13 @@ class Trainer:
         from vision_kit_tpu.models import build_model
 
         self.cfg = cfg
-        self.model = build_model(cfg)
+        # bf16 compute / fp32 params by default — the TPU counterpart of the
+        # reference's AMP fp16 training (scripts/main.py:41 precision=16).
+        # Set model.precision: fp32 in the config to disable.
+        precision = str(getattr(cfg.model, "precision", "bf16"))
+        dtype = jnp.bfloat16 if precision in ("bf16", "bfloat16", "16") \
+            else jnp.float32
+        self.model = build_model(cfg, dtype=dtype)
         self.img_size = tuple(cfg.model.input_size)
         self.max_epochs = int(cfg.data.max_epochs)
         self.val_interval = int(cfg.testing.val_interval)
@@ -69,7 +75,10 @@ class Trainer:
             from vision_kit_tpu.predictor import load_weights
 
             try:
-                variables = load_weights(str(weight), variables)
+                # shape-checked partial load (reference load_ckpt,
+                # model_utils.py:126-137): mismatched heads (e.g. different
+                # num_classes) keep their fresh init
+                variables = load_weights(str(weight), variables, partial=True)
                 logger.info("loaded pretrained weights from %s", weight)
             except Exception as e:
                 logger.warning("pretrained load failed (%s); training from scratch", e)
@@ -218,11 +227,33 @@ class Trainer:
 
     # -- loops ------------------------------------------------------------
     def fit(self, resume: str | None = None):
+        """Training loop. On any exception the current state is saved as the
+        `last` checkpoint and the best weights re-exported before re-raising
+        (reference ModelCkpt.on_exception, training_helpers.py:40-55)."""
+        try:
+            self._fit(resume)
+        except BaseException:
+            try:
+                self.save_checkpoint("last", -1)
+                if self.best_map50 > 0:
+                    self._export_best_weights(self.best_map50)
+                logger.warning("exception: saved last checkpoint before exit")
+            except Exception as e:
+                logger.warning("crash-save failed: %s", e)
+            raise
+
+    def _fit(self, resume: str | None = None):
+        from vision_kit_tpu.train.optim import lr_schedules
+
         start_epoch = 0
         if resume:
             start_epoch = self.load_checkpoint(resume) + 1
             logger.info("resumed from %s at epoch %d", resume, start_epoch)
 
+        lr_weight, _, _ = lr_schedules(
+            dict(self.cfg.hypermeters), self.max_epochs, self.steps_per_epoch,
+            cosine=self.cfg.model.name == "YOLOv7",
+        )
         it = iter(self.train_loader)
         first_batch_saved = False
         for epoch in range(start_epoch, self.max_epochs):
@@ -248,6 +279,12 @@ class Trainer:
                 self.steps_per_epoch * self.batch_size / dt,
             )
             self._log_scalar("loss", float(losses["loss"]), epoch)
+            # LR monitor (reference LearningRateMonitor per epoch,
+            # training_helpers.py:111-113)
+            self._log_scalar(
+                "lr", float(lr_weight((epoch + 1) * self.steps_per_epoch)),
+                epoch,
+            )
 
             if (epoch + 1) % self.val_interval == 0:
                 result = self.validate()
