@@ -159,3 +159,49 @@ def test_concat_dataset(yolo_dir):
     img_t, lab_t, _, _ = mix.pull_item((True, 1))
     img_i, lab_i, _, _ = mix.pull_item(1)
     np.testing.assert_array_equal(img_t, img_i)
+
+
+def test_coco_dataset(tmp_path):
+    """Synthetic COCO-format dataset: json parsing, annotation cleaning,
+    non-contiguous category ids, pull_item scaling."""
+    import json as _json
+
+    from vision_kit_tpu.data.datasets import COCODataset
+
+    root = tmp_path / "coco"
+    (root / "annotations").mkdir(parents=True)
+    (root / "val").mkdir()
+    for i in range(3):
+        cv2.imwrite(str(root / "val" / f"im{i}.jpg"),
+                    np.full((100, 200, 3), 90, np.uint8))
+    coco = {
+        "images": [
+            {"id": 10 + i, "file_name": f"im{i}.jpg", "height": 100,
+             "width": 200} for i in range(3)
+        ],
+        # non-contiguous COCO-style category ids
+        "categories": [{"id": 1, "name": "a"}, {"id": 7, "name": "b"}],
+        "annotations": [
+            {"image_id": 10, "category_id": 7, "bbox": [10, 20, 50, 40],
+             "iscrowd": 0},
+            {"image_id": 10, "category_id": 1, "bbox": [0, 0, -5, 10],
+             "iscrowd": 0},  # degenerate: dropped
+            {"image_id": 11, "category_id": 1, "bbox": [5, 5, 20, 20],
+             "iscrowd": 1},  # crowd: dropped
+        ],
+    }
+    with open(root / "annotations" / "instances_val.json", "w") as f:
+        _json.dump(coco, f)
+
+    ds = COCODataset(str(root), json_file="instances_val.json", name="val",
+                     img_size=50)
+    assert len(ds) == 3
+    assert ds.class_names == ["a", "b"]
+    img, labels, (h0, w0), img_id = ds.pull_item(0)
+    assert (h0, w0) == (100, 200) and img_id == 10
+    assert labels.shape == (1, 5)
+    # category 7 -> contiguous index 1; bbox scaled by r = 50/200
+    r = 0.25
+    np.testing.assert_allclose(labels[0], [10 * r, 20 * r, 60 * r, 60 * r, 1],
+                               atol=1e-5)
+    assert ds.pull_item(1)[1].shape == (0, 5)  # crowd dropped
