@@ -88,6 +88,27 @@ def main(cfg, opt):
         with open(os.path.join(save_dir, stem + ".stablehlo.mlir"), "w") as f:
             f.write(lowered.as_text())
         logger.info("exported msgpack weights + StableHLO to %s", save_dir)
+
+        # TF SavedModel (the deployment-artifact analog of the reference's
+        # ONNX export, scripts/main.py:83-98) — gated on tensorflow
+        try:
+            import tensorflow as _tf
+            from jax.experimental import jax2tf
+
+            tf_fn = jax2tf.convert(
+                forward, with_gradient=False,
+                native_serialization_platforms=("cpu", "tpu"),
+            )
+            module = _tf.Module()
+            module.f = _tf.function(
+                tf_fn, autograph=False,
+                input_signature=[_tf.TensorSpec((1, *size, 3), _tf.float32)],
+            )
+            sm_dir = os.path.join(save_dir, stem + "_savedmodel")
+            _tf.saved_model.save(module, sm_dir)
+            logger.info("exported TF SavedModel to %s", sm_dir)
+        except Exception as e:
+            logger.warning("TF SavedModel export skipped: %s", e)
     else:
         raise ValueError(opt.task)
 

@@ -85,3 +85,34 @@ def test_v7_full_deploy_parity(rng):
     np.testing.assert_allclose(
         np.asarray(got_decoded), np.asarray(ref_decoded), rtol=2e-3, atol=2e-3
     )
+
+
+def test_savedmodel_export_roundtrip(tmp_path):
+    """jax2tf SavedModel export (the ONNX-export analog): save, reload,
+    numerical agreement with the jitted forward."""
+    tf = pytest.importorskip("tensorflow")
+    from jax.experimental import jax2tf
+
+    from vision_kit_tpu.models import YOLOV5
+
+    model = YOLOV5(variant="n", num_classes=7)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   training=False)
+
+    def fwd(x):
+        d, _ = model.apply(v, x, training=False)
+        return d
+
+    tf_fn = jax2tf.convert(fwd, with_gradient=False,
+                           native_serialization_platforms=("cpu", "tpu"))
+    m = tf.Module()
+    m.f = tf.function(tf_fn, autograph=False,
+                      input_signature=[tf.TensorSpec((1, 64, 64, 3),
+                                                     tf.float32)])
+    d = str(tmp_path / "sm")
+    tf.saved_model.save(m, d)
+    loaded = tf.saved_model.load(d)
+    x = np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    out_tf = loaded.f(tf.constant(x)).numpy()
+    out_jax = np.asarray(fwd(jnp.asarray(x)))
+    np.testing.assert_allclose(out_tf, out_jax, atol=2e-3, rtol=1e-3)
