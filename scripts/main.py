@@ -20,6 +20,10 @@ from vision_kit_tpu.utils.logging_utils import logger, setup_logger
 
 
 def main(cfg, opt):
+    from vision_kit_tpu.parallel.distributed import init_distributed
+
+    init_distributed()  # no-op on single host
+
     import jax
 
     from vision_kit_tpu.train.evaluator import DetEvaluator
