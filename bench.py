@@ -32,8 +32,8 @@ A100_IMAGES_PER_SEC = 900.0  # public ultralytics anchor (see docstring)
 TARGET = 3.0 * A100_IMAGES_PER_SEC
 
 BATCH = 128
-CHUNK = 8    # micro-batches per dispatch
-ITERS = 4    # timed dispatches
+CHUNK = 16   # micro-batches per dispatch
+ITERS = 2    # timed dispatches
 
 
 def main():

@@ -48,11 +48,21 @@ def init_distributed(coordinator_address: str | None = None,
     if not (coordinator_address or on_pod):
         return False
 
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        if coordinator_address:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        else:
+            # pod autodetection path: no arguments
+            jax.distributed.initialize()
+    except Exception as e:
+        # pod-looking env without a reachable coordinator (e.g. a tunneled
+        # single chip): stay single-host rather than failing the run
+        logger.warning("multi-host init skipped: %s", e)
+        return False
     logger.info(
         "jax.distributed initialized: process %d/%d, %d local / %d global devices",
         jax.process_index(), jax.process_count(),
