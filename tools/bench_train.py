@@ -27,7 +27,8 @@ def main():
         "box": 0.05, "cls": 0.5, "obj": 1.0, "cls_pw": 1.0, "obj_pw": 1.0,
         "anchor_t": 4.0, "label_smoothing": 0.0,
     }
-    batch, size = 32, 640
+    batch = next((int(a) for a in sys.argv[1:] if a.isdigit()), 32)
+    size = 640
     dtype = jnp.bfloat16 if "bf16" in sys.argv[1:] else jnp.float32
     model = YOLOV5(variant="s", num_classes=80, dtype=dtype)
     variables = model.init(

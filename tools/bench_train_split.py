@@ -71,7 +71,14 @@ def run(mode):
         float(m["loss"])
         dt = time.perf_counter() - t0
     else:
-        if mode == "fwd_loss":
+        if mode == "fwd_only":
+            def one(imgs, tg):
+                preds, _ = model.apply(
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    imgs, training=True, mutable=["batch_stats"])
+                return sum(jnp.sum(p[..., :1].astype(jnp.float32))
+                           for p in preds)
+        elif mode == "fwd_loss":
             def one(imgs, tg):
                 preds, _ = model.apply(
                     {"params": state.params, "batch_stats": state.batch_stats},

@@ -26,37 +26,6 @@ MAX_WH = 7680  # class-offset stride, reference image_proc.py:107
 NEG_INF = -1e9
 
 
-def _greedy_keep(iou: jnp.ndarray, iou_thres: float) -> jnp.ndarray:
-    """Greedy NMS keep-mask for score-desc-sorted boxes via fixed-point.
-
-    `iou` is (K, K). Box j is suppressed iff some kept i < j has
-    iou[i, j] > thres. Starting from all-kept, the parallel update
-        keep[j] <- not any_i (keep[i] & supp[i, j])
-    converges to the unique greedy solution in at most the length of the
-    longest suppression chain (usually < 8 for detection data); we iterate
-    with lax.while_loop until the mask stops changing.
-    """
-    k = iou.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
-    supp = (iou > iou_thres) & (rows < cols)  # i suppresses j (i above j)
-
-    def cond(state):
-        keep, prev, it = state
-        return jnp.logical_and(jnp.any(keep != prev), it < k)
-
-    def body(state):
-        keep, _, it = state
-        new = ~jnp.any(supp & keep[:, None], axis=0)
-        return new, keep, it + 1
-
-    keep0 = jnp.ones((k,), dtype=bool)
-    keep, _, _ = jax.lax.while_loop(
-        cond, body, (keep0, jnp.zeros((k,), dtype=bool), jnp.int32(0))
-    )
-    return keep
-
-
 def _greedy_keep_blocked(boxes: jnp.ndarray, valid: jnp.ndarray,
                          iou_thres: float, block: int = 128) -> jnp.ndarray:
     """Exact greedy NMS keep-mask via blocked scan (TF NMS-padded style).
@@ -115,13 +84,6 @@ def _greedy_keep_blocked(boxes: jnp.ndarray, valid: jnp.ndarray,
     keep0 = jnp.zeros((k,), bool)
     keep, _ = jax.lax.scan(chunk_step, keep0, jnp.arange(n_blocks))
     return keep[:orig_k]
-
-
-def _use_pallas() -> bool:
-    try:
-        return jax.default_backend() not in ("cpu",)
-    except Exception:
-        return False
 
 
 def _nms_single(
