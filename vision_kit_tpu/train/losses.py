@@ -213,7 +213,7 @@ class YoloLoss:
         iou_det = jnp.clip(jax.lax.stop_gradient(iou), 0.0, None)
         if self.gr < 1.0:
             iou_det = (1.0 - self.gr) + self.gr * iou_det
-        tobj_updates = jnp.where(valid_flat, iou_det, 0.0)
+        tobj_updates = jnp.where(valid_flat, iou_det, 0.0).astype(pred.dtype)
         tobj = jnp.zeros((b * na * ny * nx,), pred.dtype)
         tobj = tobj.at[lin_flat].max(tobj_updates, mode="drop")
         obj_logits = pred_flat[:, 4]

@@ -123,6 +123,7 @@ class Trainer:
             gt_json=getattr(cfg.data, "gt_json", None),
         )
         self.steps_per_epoch = steps_per_epoch
+        self.ckpt_interval = int(getattr(cfg.data, "ckpt_interval", 1) or 1)
         self.best_map50 = -1.0
         self.epochs_no_improve = 0
         self.patience = 5
@@ -193,16 +194,35 @@ class Trainer:
         return train_loader, val_loader
 
     # -- checkpointing ----------------------------------------------------
-    def save_checkpoint(self, name: str, epoch: int):
+    @property
+    def _ckptr(self):
+        # async checkpointer: the save streams in the background while
+        # training continues (the TPU-idiomatic pattern; the reference's PL
+        # ModelCheckpoint blocks the loop every epoch)
         import orbax.checkpoint as ocp
 
+        if not hasattr(self, "_ckptr_inst"):
+            self._ckptr_inst = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler()
+            )
+        return self._ckptr_inst
+
+    def save_checkpoint(self, name: str, epoch: int, blocking: bool = False):
         path = os.path.abspath(os.path.join(self.output_dir, "ckpts", name))
-        ckptr = ocp.StandardCheckpointer()
-        state = jax.device_get(self.state)
-        ckptr.save(path, state, force=True)
-        ckptr.wait_until_finished()
+        # one outstanding save at a time (a second save to the same name
+        # must not race the first)
+        self._ckptr.wait_until_finished()
+        self._ckptr.save(path, args=self._save_args(self.state), force=True)
+        if blocking:
+            self._ckptr.wait_until_finished()
         with open(path + ".meta.json", "w") as f:
             json.dump({"epoch": epoch, "best_map50": self.best_map50}, f)
+
+    @staticmethod
+    def _save_args(state):
+        import orbax.checkpoint as ocp
+
+        return ocp.args.StandardSave(jax.device_get(state))
 
     def load_checkpoint(self, path: str):
         import orbax.checkpoint as ocp
@@ -234,7 +254,7 @@ class Trainer:
             self._fit(resume)
         except BaseException:
             try:
-                self.save_checkpoint("last", -1)
+                self.save_checkpoint("last", -1, blocking=True)
                 if self.best_map50 > 0:
                     self._export_best_weights(self.best_map50)
                 logger.warning("exception: saved last checkpoint before exit")
@@ -302,13 +322,16 @@ class Trainer:
                     self._export_best_weights(map50)
                 else:
                     self.epochs_no_improve += 1
-            self.save_checkpoint("last", epoch)
+            if ((epoch + 1) % self.ckpt_interval == 0
+                    or epoch + 1 == self.max_epochs):
+                self.save_checkpoint("last", epoch)
             if self.epochs_no_improve >= self.patience:
                 logger.info(
                     "early stopping: no mAP@.5 improvement in %d validations",
                     self.patience,
                 )
                 break
+        self._ckptr.wait_until_finished()
         self.train_loader.close()
 
     def validate(self):
