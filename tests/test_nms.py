@@ -160,3 +160,31 @@ def test_postprocess_raw_matches_decoded_path():
     np.testing.assert_allclose(np.asarray(d1)[np.asarray(v1)],
                                np.asarray(d2)[np.asarray(v2)],
                                rtol=1e-5, atol=1e-3)
+
+
+def test_multi_label_top_matches_full():
+    """Per-anchor top-L multi-label truncation must match the full N*nc
+    expansion when no anchor has more than L contributing classes."""
+    from vision_kit_tpu.ops.nms import postprocess
+
+    rng = np.random.default_rng(3)
+    n, nc = 400, 12
+    preds = np.zeros((2, n, 5 + nc), np.float32)
+    preds[..., 0] = rng.uniform(50, 600, (2, n))
+    preds[..., 1] = rng.uniform(50, 600, (2, n))
+    preds[..., 2:4] = rng.uniform(10, 80, (2, n, 2))
+    preds[..., 4] = rng.uniform(0, 1, (2, n))
+    # sparse class confs: ~3 classes above threshold per anchor
+    cls = rng.uniform(0, 0.01, (2, n, nc))
+    hot = rng.integers(0, nc, (2, n, 3))
+    np.put_along_axis(cls, hot, rng.uniform(0.3, 1.0, (2, n, 3)), axis=-1)
+    preds[..., 5:] = cls
+    p = jnp.asarray(preds)
+
+    d1, v1 = postprocess(p, conf_thres=0.01, iou_thres=0.5, multi_label=True,
+                         max_det=100, max_cand=512)
+    d2, v2 = postprocess(p, conf_thres=0.01, iou_thres=0.5, multi_label=True,
+                         max_det=100, max_cand=512, multi_label_top=8)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_allclose(np.asarray(d1)[np.asarray(v1)],
+                               np.asarray(d2)[np.asarray(v2)], atol=1e-5)

@@ -51,6 +51,12 @@ def run(mode):
                     decoded, conf_thres=0.001, iou_thres=0.6,
                     multi_label=True, max_det=300, max_cand=2048)
                 out = jnp.sum(valid) + jnp.sum(dets[:, 0, 0])
+            elif mode == "eval_fast":
+                dets, valid = postprocess(
+                    decoded, conf_thres=0.001, iou_thres=0.6,
+                    multi_label=True, max_det=300, max_cand=2048,
+                    multi_label_top=20)
+                out = jnp.sum(valid) + jnp.sum(dets[:, 0, 0])
             return carry + out.astype(jnp.float32), ()
 
         acc, _ = jax.lax.scan(step, acc0, jnp.arange(CHUNK, dtype=jnp.int32))

@@ -110,7 +110,7 @@ def _select_top(raw, scores, valid, max_det):
     jax.jit,
     static_argnames=(
         "conf_thres", "iou_thres", "multi_label", "agnostic", "max_det",
-        "max_cand", "approx_topk",
+        "max_cand", "approx_topk", "multi_label_top",
     ),
 )
 def postprocess(
@@ -123,6 +123,7 @@ def postprocess(
     max_cand: int = 1024,
     classes: jnp.ndarray | None = None,
     approx_topk: bool = False,
+    multi_label_top: int = 0,
 ):
     """Decoded predictions -> padded detections.
 
@@ -164,12 +165,31 @@ def postprocess(
         # (N, 5+nc) tensor up front.
         neg = jnp.asarray(NEG_INF, conf_i.dtype)
         if use_multi:
-            flat = conf_i.reshape(-1)                      # (N*nc,)
-            gated = jnp.where(flat > conf_thres, flat, neg)
-            top_s, top_i = topk(gated, max_cand)
-            box_idx = top_i // nc
-            cls_idx = (top_i % nc).astype(jnp.float32)
-            cand_boxes = jnp.take(box_i, box_idx, axis=0)
+            if multi_label_top and multi_label_top < nc:
+                # per-anchor top-L class truncation: the full (N, nc) flatten
+                # makes the global top-k run over N*nc (~2M) entries, ~9x the
+                # whole rest of the eval postprocess. An anchor contributing
+                # more than L classes above conf to the global top max_cand
+                # is effectively impossible for trained models, so exact
+                # top-L per anchor (a cheap nc-wide sort) then the global
+                # top-k over N*L is mAP-identical at a fraction of the cost.
+                L = multi_label_top
+                vals, cidx = jax.lax.top_k(conf_i, L)      # (N, L)
+                flat = vals.reshape(-1)                    # (N*L,)
+                gated = jnp.where(flat > conf_thres, flat, neg)
+                top_s, top_i = topk(gated, max_cand)
+                box_idx = top_i // L
+                cls_idx = jnp.take(
+                    cidx.reshape(-1), top_i
+                ).astype(jnp.float32)
+                cand_boxes = jnp.take(box_i, box_idx, axis=0)
+            else:
+                flat = conf_i.reshape(-1)                  # (N*nc,)
+                gated = jnp.where(flat > conf_thres, flat, neg)
+                top_s, top_i = topk(gated, max_cand)
+                box_idx = top_i // nc
+                cls_idx = (top_i % nc).astype(jnp.float32)
+                cand_boxes = jnp.take(box_i, box_idx, axis=0)
         else:
             best = jnp.max(conf_i, axis=-1)                # (N,)
             best_cls = jnp.argmax(conf_i, axis=-1)
