@@ -68,9 +68,17 @@ def main():
 
     is_image = os.path.isdir(args.path) or args.path.lower().endswith(IMAGE_EXT)
     if is_image:
+        # --output: an exact file path for a single image (back-compat with
+        # `-p img.jpg -o result.jpg`), a directory otherwise
+        single_file_out = (
+            args.output
+            if args.output and not os.path.isdir(args.path)
+            and args.output.lower().endswith(IMAGE_EXT)
+            else None
+        )
         reader = ImageReader(
             args.path,
-            save_path=args.output
+            save_path=(None if single_file_out else args.output)
             or (args.path if os.path.isdir(args.path)
                 else os.path.dirname(args.path) or "."),
         )
@@ -85,7 +93,12 @@ def main():
                 warm = True
             dets, ms = predictor(rgb)
             print(f"{path}: {len(dets)} detections in {ms:.2f} ms (fused e2e)")
-            out_path = reader.save(drawer.draw(bgr, dets), path)
+            out = drawer.draw(bgr, dets)
+            if single_file_out:
+                cv2.imwrite(single_file_out, out)
+                out_path = single_file_out
+            else:
+                out_path = reader.save(out, path)
             print(f"saved {out_path}")
     else:
         reader = VideoReader(args.path, save_path=args.output)

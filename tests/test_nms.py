@@ -188,3 +188,17 @@ def test_multi_label_top_matches_full():
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     np.testing.assert_allclose(np.asarray(d1)[np.asarray(v1)],
                                np.asarray(d2)[np.asarray(v2)], atol=1e-5)
+
+
+def test_multi_label_top_small_anchor_count():
+    """max_cand larger than n*L must not crash (regression: top_k k > size)."""
+    from vision_kit_tpu.ops.nms import postprocess
+
+    rng = np.random.default_rng(0)
+    preds = jnp.asarray(
+        rng.uniform(0, 1, (1, 60, 85)).astype(np.float32) * 100
+    )
+    d, v = postprocess(preds, conf_thres=0.001, iou_thres=0.6,
+                       multi_label=True, max_det=300, max_cand=2048,
+                       multi_label_top=20)
+    assert d.shape[1] <= 300 and v.shape == d.shape[:2]

@@ -51,17 +51,8 @@ def run(mode):
 
     if mode == "full":
         step = make_train_step(model, loss_fn, tx, donate=False)
-
-        @jax.jit
-        def stream(st, imgs, tg):
-            def body(carry, k):
-                s, acc = carry
-                s, m = jax.jit(lambda s, b: (s, b))(s, None)[0], None
-                return carry, ()
-            # plain python loop of CHUNK steps inside one jit is not
-            # possible with the jitted step; time CHUNK dispatches instead
-            return st
-        # dispatch-loop timing (step is donate=False so state reuse is fine)
+        # dispatch-loop timing (not scan-amortized: the jitted step owns its
+        # own jit boundary; donate=False so state reuse is fine)
         st = state
         st, m = step(st, {"image": images, "targets": targets})
         float(m["loss"])

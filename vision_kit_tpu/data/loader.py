@@ -63,7 +63,7 @@ def pad_targets(labels_list, img_hw, max_labels=MAX_LABELS):
 class TrainLoader:
     """Infinite training batches with mosaic/mixup + augmentation.
 
-    Yields {"image": (B, S, S, 3) float32 in [0,1] NHWC,
+    Yields {"image": (B, S, S, 3) uint8 (normalized on device) NHWC,
             "targets": (B, M, 5)}.
     """
 
@@ -162,7 +162,7 @@ class TrainLoader:
 class ValLoader:
     """Sequential validation batches with letterbox preprocessing.
 
-    Yields {"image": (B, S, S, 3) float32, "targets": (B, M, 5),
+    Yields {"image": (B, S, S, 3) uint8, "targets": (B, M, 5),
             "info": list of (h0, w0, ratio, pad, img_id)} — the info list is
     what the evaluator needs to rescale detections to original frames.
     The last partial batch is padded by repeating the final sample, with

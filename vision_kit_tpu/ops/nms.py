@@ -5,9 +5,10 @@ TPU-native replacement for the reference's per-image Python NMS loop over
 semantics: conf gate, obj*cls scoring, optional multi-label expansion, the
 class-offset trick (cls * max_wh added to boxes so NMS is per-class without
 batching per class), max_det cap — but expressed as one fixed-shape XLA
-program: top-k candidate selection followed by a greedy suppression solved as
-a fixed-point iteration on the upper-triangular IoU mask (score-sorted), so
-there is no host round-trip and no data-dependent shape anywhere.
+program: top-k candidate selection followed by exact greedy suppression via
+a blocked scan (score-sorted chunks, vectorized cross-chunk suppression +
+within-chunk fixed point; _greedy_keep_blocked), so there is no host
+round-trip and no data-dependent shape anywhere.
 
 Outputs are padded to (batch, max_det, 6) [x1, y1, x2, y2, conf, cls] with a
 validity mask, the standard pad+mask design for TPU.
@@ -145,6 +146,9 @@ def postprocess(
 
     use_multi = multi_label and nc > 1
     max_cand = min(max_cand, n * nc if use_multi else n)
+    if use_multi and multi_label_top and multi_label_top < nc:
+        # top-L truncation caps the candidate pool at n*L
+        max_cand = min(max_cand, n * multi_label_top)
     max_det = min(max_det, max_cand)
 
     def topk(scores, k):

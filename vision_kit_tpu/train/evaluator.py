@@ -119,8 +119,14 @@ class DetEvaluator:
         )
         self.gt_json = gt_json
         # contiguous class index -> dataset category id for COCO-json export
-        # (reference det_evaluator.py:116-123 reads them from the gt json)
-        self.class_ids = list(range(1, len(self.class_labels) + 1))
+        # (reference det_evaluator.py:116-123 reads them from the gt json);
+        # 80-class taxonomies default to the official COCO-91 id table
+        if len(self.class_labels) == 80:
+            from vision_kit_tpu.utils.general import coco80_to_coco91_class
+
+            self.class_ids = coco80_to_coco91_class()
+        else:
+            self.class_ids = list(range(1, len(self.class_labels) + 1))
         if gt_json is not None:
             try:
                 import json as _json

@@ -138,16 +138,19 @@ class Trainer:
                 self.tb = None
         # WandB (project "VisionKit", reference training_helpers.py:118-129),
         # gated on availability like the TB writer above
+        # WandB only when credentials/mode are configured (an unconditional
+        # wandb.init blocks on an interactive login prompt on fresh machines)
         self.wandb = None
-        try:
-            import wandb
+        if os.environ.get("WANDB_API_KEY") or os.environ.get("WANDB_MODE"):
+            try:
+                import wandb
 
-            self.wandb = wandb.init(
-                project="VisionKit", dir=self.output_dir,
-                config=dict(cfg), reinit=True,
-            )
-        except Exception:
-            self.wandb = None
+                self.wandb = wandb.init(
+                    project="VisionKit", dir=self.output_dir,
+                    config=dict(cfg), reinit=True,
+                )
+            except Exception:
+                self.wandb = None
 
     def _log_scalar(self, name: str, value: float, step: int):
         if self.tb:
@@ -254,7 +257,9 @@ class Trainer:
             self._fit(resume)
         except BaseException:
             try:
-                self.save_checkpoint("last", -1, blocking=True)
+                self.save_checkpoint(
+                    "last", getattr(self, "_cur_epoch", 0), blocking=True
+                )
                 if self.best_map50 > 0:
                     self._export_best_weights(self.best_map50)
                 logger.warning("exception: saved last checkpoint before exit")
@@ -277,6 +282,7 @@ class Trainer:
         it = iter(self.train_loader)
         first_batch_saved = False
         for epoch in range(start_epoch, self.max_epochs):
+            self._cur_epoch = epoch
             t0 = time.time()
             losses = []
             for step in range(self.steps_per_epoch):
