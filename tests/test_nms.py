@@ -154,8 +154,17 @@ def test_postprocess_raw_matches_decoded_path():
                          max_det=50, max_cand=256)
     d2, v2 = postprocess_raw(
         raws, anchors_px, strides=strides, conf_thres=0.1, iou_thres=0.5,
-        max_det=50, max_cand=256, approx_topk=False,
+        max_det=50, max_cand=256, approx_topk=False, anchor_major=True,
     )
+    # native layout: same maps transposed, same results
+    raws_native = [jnp.transpose(r, (0, 2, 3, 1, 4)) for r in raws]
+    d3, v3 = postprocess_raw(
+        raws_native, anchors_px, strides=strides, conf_thres=0.1,
+        iou_thres=0.5, max_det=50, max_cand=256, approx_topk=False,
+    )
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(v3))
+    np.testing.assert_allclose(np.asarray(d2)[np.asarray(v2)],
+                               np.asarray(d3)[np.asarray(v3)], atol=1e-4)
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     np.testing.assert_allclose(np.asarray(d1)[np.asarray(v1)],
                                np.asarray(d2)[np.asarray(v2)],

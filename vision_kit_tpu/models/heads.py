@@ -148,7 +148,15 @@ class YoloV5Head(nn.Module):
             # NHWC conv emits (B, ny, nx, na*no); channel axis is ordered
             # anchor-major exactly like torch's (na*no, ...) output channels,
             # so this reshape/transpose reproduces the reference layout.
-            raw = y.reshape(b, ny, nx, na, no).transpose(0, 3, 1, 2, 4)
+            # Training returns the transposed (reference-order) maps for the
+            # loss/parity; eval returns the NATIVE (B, ny, nx, na, no) order
+            # so the fused serving postprocess consumes the conv output
+            # in-place (the 5-d transpose costs a full layout copy per map).
+            raw_native = y.reshape(b, ny, nx, na, no)
+            if training or reference_order:
+                raw = raw_native.transpose(0, 3, 1, 2, 4)
+            else:
+                raw = raw_native
             raws.append(raw)
             if not training:
                 anchors_px = anchors_grid[i] * self.stride[i]
@@ -160,7 +168,7 @@ class YoloV5Head(nn.Module):
                 else:
                     decoded.append(
                         _decode_level(
-                            y.reshape(b, ny, nx, na, no), self.stride[i],
+                            raw_native, self.stride[i],
                             anchors_px, False, anchor_axis=3,
                         )
                     )
@@ -214,7 +222,11 @@ class YoloV7Head(nn.Module):
             if not self.deploy:
                 y = Implicit(no * na, ops="multiply", name=f"im_{i}")(y)
             b, ny, nx, _ = y.shape
-            raw = y.reshape(b, ny, nx, na, no).transpose(0, 3, 1, 2, 4)
+            raw_native = y.reshape(b, ny, nx, na, no)
+            if training or self.decode_order == "reference":
+                raw = raw_native.transpose(0, 3, 1, 2, 4)
+            else:  # native eval layout: no transpose (fused serving path)
+                raw = raw_native
             raws.append(raw)
             if not training:
                 if self.decode_order == "reference":
@@ -225,7 +237,7 @@ class YoloV7Head(nn.Module):
                 else:
                     decoded.append(
                         _decode_level(
-                            y.reshape(b, ny, nx, na, no), self.stride[i],
+                            raw_native, self.stride[i],
                             anchors_px[i], True, anchor_axis=3,
                         )
                     )

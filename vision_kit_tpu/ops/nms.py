@@ -252,7 +252,7 @@ def batched_nms(
     jax.jit,
     static_argnames=(
         "strides", "conf_thres", "iou_thres", "agnostic", "max_det",
-        "max_cand", "approx_topk",
+        "max_cand", "approx_topk", "anchor_major",
     ),
 )
 def postprocess_raw(
@@ -266,6 +266,7 @@ def postprocess_raw(
     max_cand: int = 1024,
     classes: jnp.ndarray | None = None,
     approx_topk: bool = True,
+    anchor_major: bool = False,
 ):
     """Serving postprocess straight from the RAW head maps: candidate
     selection before decode.
@@ -281,8 +282,10 @@ def postprocess_raw(
         (up to score ties).
 
     Args:
-      raws: list of per-level (B, na, ny, nx, 5+nc) raw maps (the head's
-        training-order outputs, also returned by eval mode).
+      raws: per-level raw maps. anchor_major=False (default) expects the
+        head's eval-mode NATIVE layout (B, ny, nx, na, 5+nc) — the conv
+        output consumed with no transpose; anchor_major=True accepts the
+        training-order (B, na, ny, nx, 5+nc) maps.
       anchors_px: (nl, na, 2) anchors in PIXEL units.
       classes: optional (nc,) bool mask of allowed classes.
 
@@ -300,7 +303,10 @@ def postprocess_raw(
     cand_scores, cand_boxes, cand_cls = [], [], []
     for li in range(nl):
         raw = raws[li]
-        _, na, ny, nx, no = raw.shape
+        if anchor_major:
+            _, na, ny, nx, no = raw.shape
+        else:
+            _, ny, nx, na, no = raw.shape
         n = na * ny * nx
         k = min(max_cand, n)
         flat = raw.reshape(b, n, no)
@@ -322,11 +328,17 @@ def postprocess_raw(
             flat[..., :4], top_i[..., None], axis=1
         ).astype(jnp.float32)                                   # (B, k, 4)
         sel_cls = jnp.take_along_axis(best_cls, top_i, axis=1)
-        # flat index (ia, iy, ix) -> grid position + anchor
-        ia = top_i // (ny * nx)
-        rem = top_i % (ny * nx)
-        iy = (rem // nx).astype(jnp.float32)
-        ix = (rem % nx).astype(jnp.float32)
+        # flat index -> grid position + anchor
+        if anchor_major:               # (ia, iy, ix)
+            ia = top_i // (ny * nx)
+            rem = top_i % (ny * nx)
+            iy = (rem // nx).astype(jnp.float32)
+            ix = (rem % nx).astype(jnp.float32)
+        else:                          # (iy, ix, ia)
+            ia = top_i % na
+            cell = top_i // na
+            iy = (cell // nx).astype(jnp.float32)
+            ix = (cell % nx).astype(jnp.float32)
         s = jax.nn.sigmoid(sel)
         stride = float(strides[li])
         cx = (s[..., 0] * 2.0 - 0.5 + ix) * stride

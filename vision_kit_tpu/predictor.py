@@ -62,6 +62,9 @@ class Predictor:
 
         anchors_px = getattr(self.model, "anchors_px", None)
         strides = tuple(getattr(self.model, "strides", (8.0, 16.0, 32.0)))
+        # eval raws are native (B,ny,nx,na,no) unless the model was built
+        # with decode_order="reference" (parity mode)
+        anchor_major = getattr(self.model, "decode_order", "native") == "reference" 
 
         @jax.jit
         def run(imgs_u8):
@@ -75,7 +78,7 @@ class Predictor:
                     raws, anchors_px, strides=strides,
                     conf_thres=self.conf_thres, iou_thres=self.iou_thres,
                     max_det=self.max_det, max_cand=self.max_cand,
-                    approx_topk=self.approx_topk,
+                    approx_topk=self.approx_topk, anchor_major=anchor_major,
                 )
             else:
                 dets, valid = postprocess(
