@@ -183,3 +183,17 @@ def test_train_step_bf16_descends():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_remat_matches_plain():
+    """remat=True recomputes activations in the backward; the update must be
+    numerically identical to the plain step."""
+    model, loss, tx, state, batch = _setup(batch=2)
+    s1, m1 = make_train_step(model, loss, tx, donate=False)(state, batch)
+    s2, m2 = make_train_step(model, loss, tx, donate=False, remat=True)(
+        state, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    l1 = jax.tree_util.tree_leaves(s1.params)[3]
+    l2 = jax.tree_util.tree_leaves(s2.params)[3]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5,
+                               atol=1e-7)

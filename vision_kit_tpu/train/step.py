@@ -53,7 +53,7 @@ def create_train_state(model, variables, tx) -> TrainState:
 
 
 def make_train_step(model, loss_fn: YoloLoss, tx, mesh=None, donate=True,
-                    spatial=False):
+                    spatial=False, remat=False):
     """Build the jitted train step.
 
     batch: {"image": (B, H, W, 3) float in [0,1], "targets": (B, M, 5)}.
@@ -81,13 +81,22 @@ def make_train_step(model, loss_fn: YoloLoss, tx, mesh=None, donate=True,
                 imgs, spatial_sharding(mesh)
             )
 
-        def compute_loss(params):
-            preds, mutated = model.apply(
+        def forward(params, x):
+            return model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                imgs,
+                x,
                 training=True,
                 mutable=["batch_stats"],
             )
+
+        if remat:
+            # rematerialization: recompute activations during the backward
+            # instead of storing them — ~1/3 more FLOPs for ~half the
+            # activation memory; enables larger per-chip batches
+            forward = jax.checkpoint(forward)
+
+        def compute_loss(params):
+            preds, mutated = forward(params, imgs)
             if spatial:
                 # re-gather the (small) head maps to batch-only sharding:
                 # the conv stack ran height-split, but the assigner's
