@@ -205,3 +205,19 @@ def test_coco_dataset(tmp_path):
     np.testing.assert_allclose(labels[0], [10 * r, 20 * r, 60 * r, 60 * r, 1],
                                atol=1e-5)
     assert ds.pull_item(1)[1].shape == (0, 5)  # crowd dropped
+
+
+def test_train_loader_workers_deterministic(yolo_dir):
+    """num_workers>0 must reproduce the exact single-thread batch stream
+    (deterministic index positions + per-sample seeds)."""
+    ds = YOLODataset(yolo_dir, img_size=64)
+    aug = dict(mosaic_prob=1.0, mixup_prob=0.0, hsv_prob=1.0)
+    l0 = TrainLoader(ds, 4, img_size=64, aug_cfg=aug, num_workers=0)
+    l2 = TrainLoader(ds, 4, img_size=64, aug_cfg=aug, num_workers=2)
+    it0, it2 = iter(l0), iter(l2)
+    for _ in range(4):
+        b0, b2 = next(it0), next(it2)
+        np.testing.assert_array_equal(b0["image"], b2["image"])
+        np.testing.assert_array_equal(b0["targets"], b2["targets"])
+    l0.close()
+    l2.close()

@@ -41,6 +41,31 @@ def infinite_indices(
         epoch += 1
 
 
+class _IndexStream:
+    """Random-access view of the infinite_indices stream: position p ->
+    dataset index, computable from any worker without consuming a shared
+    iterator (epoch permutations are recomputed and cached per epoch)."""
+
+    def __init__(self, n, seed=0, shard=0, num_shards=1, shuffle=True):
+        self.n, self.seed = n, seed
+        self.shard, self.num_shards, self.shuffle = shard, num_shards, shuffle
+        self.shard_len = len(range(shard, n, num_shards))
+        self._epoch = -1
+        self._slice = None
+
+    def at(self, p: int) -> int:
+        epoch, off = divmod(p, self.shard_len)
+        if epoch != self._epoch:
+            if self.shuffle:
+                rng = np.random.default_rng([self.seed, epoch])
+                perm = rng.permutation(self.n)
+            else:
+                perm = np.arange(self.n)
+            self._slice = perm[self.shard::self.num_shards]
+            self._epoch = epoch
+        return int(self._slice[off])
+
+
 def pad_targets(labels_list, img_hw, max_labels=MAX_LABELS):
     """abs-xyxy+cls label arrays -> (B, M, 5) [cls, cxn, cyn, wn, hn],
     padded with cls = -1."""
@@ -79,6 +104,7 @@ class TrainLoader:
         max_labels: int = MAX_LABELS,
         prefetch: int = 3,
         no_aug: bool = False,
+        num_workers: int = 0,
     ):
         aug = dict(aug_cfg or {})
         self.img_size = (
@@ -107,17 +133,20 @@ class TrainLoader:
             hsv_prob=float(aug.get("hsv_prob", 1.0)) if not no_aug else 0.0,
             img_sz=self.img_size,
         )
-        self.indices = infinite_indices(
+        self.index_stream = _IndexStream(
             len(dataset), seed=seed, shard=shard, num_shards=num_shards
         )
         self.steps_per_epoch = max(
             len(dataset) // (batch_size * num_shards), 1
         )
+        self.num_workers = int(num_workers)
+        self.prefetch = prefetch
         self._queue: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._started = False
-        self._count = 0
+        self._procs: list = []
+        self._mp_queues: list = []
 
     def _make_sample(self, sample_id: int, idx: int):
         rng = np.random.default_rng([self.seed, 77, sample_id])
@@ -126,10 +155,14 @@ class TrainLoader:
         return img, labels
 
     def _make_batch(self, batch_id: int):
+        """Deterministic batch `batch_id`: index-stream positions
+        [bid*B, (bid+1)*B), per-sample seeded aug — identical output for any
+        worker count."""
         imgs, labels = [], []
         for k in range(self.batch_size):
-            idx = next(self.indices)
-            img, lab = self._make_sample(batch_id * self.batch_size + k, idx)
+            sid = batch_id * self.batch_size + k
+            idx = self.index_stream.at(sid)
+            img, lab = self._make_sample(sid, idx)
             imgs.append(img)
             labels.append(lab)
         images = np.stack(imgs)  # uint8; normalized on device in the jitted step
@@ -148,15 +181,48 @@ class TrainLoader:
                 except queue.Full:
                     continue
 
-    def __iter__(self):
-        if not self._started:
-            self._thread.start()
-            self._started = True
+    def _proc_main(self, worker_id: int, out_q):
+        bid = worker_id
         while True:
-            yield self._queue.get()
+            out_q.put(self._make_batch(bid))
+            bid += self.num_workers
+
+    def _start_procs(self):
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        for w in range(self.num_workers):
+            q = ctx.Queue(maxsize=max(self.prefetch // self.num_workers, 1))
+            p = ctx.Process(
+                target=self._proc_main, args=(w, q), daemon=True
+            )
+            p.start()
+            self._procs.append(p)
+            self._mp_queues.append(q)
+
+    def __iter__(self):
+        if self.num_workers > 0:
+            # multi-process workers (SURVEY.md "host augmentation
+            # throughput"): worker w produces batches w, w+W, w+2W, ...;
+            # round-robin consumption keeps the exact single-thread order
+            if not self._procs:
+                self._start_procs()
+            bid = 0
+            while True:
+                yield self._mp_queues[bid % self.num_workers].get()
+                bid += 1
+        else:
+            if not self._started:
+                self._thread.start()
+                self._started = True
+            while True:
+                yield self._queue.get()
 
     def close(self):
         self._stop.set()
+        for p in self._procs:
+            p.terminate()
+        self._procs.clear()
 
 
 class ValLoader:

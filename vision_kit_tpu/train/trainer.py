@@ -192,6 +192,7 @@ class Trainer:
             train_ds, self.batch_size, img_size=self.img_size,
             aug_cfg=dict(self.cfg.augmentations),
             shard=jax.process_index(), num_shards=jax.process_count(),
+            num_workers=int(getattr(cfg.data, "num_workers", 0) or 0),
         )
         val_loader = ValLoader(val_ds, self.batch_size, img_size=self.img_size)
         return train_loader, val_loader
