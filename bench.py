@@ -12,19 +12,15 @@ PyTorch FP16 batch-32 figure (~900 img/s on A100); vs_baseline >= 1.0 meets
 the target.
 
 The measured program is the full device-side inference path per image:
-normalize (uint8 -> bf16/255) + forward + decode + fixed-shape NMS. A
-lax.scan runs CHUNK micro-batches per dispatch with a perturbed input each
-step (so XLA cannot hoist any per-image work out of the loop) — this
-amortizes the per-dispatch host round-trip of the tunneled test harness,
-which is a harness artifact, not device time. Completion is forced by a
-single device->host readback of the accumulated valid-detection count
-(block_until_ready does not block over the axon tunnel).
+normalize (uint8 -> bf16/255) + forward + fused candidate-before-decode
+postprocess + NMS. The measurement protocol (dispatch amortization,
+anti-hoisting perturbation, readback barrier) is the shared harness in
+vision_kit_tpu/utils/stream_bench.py.
 """
 
 from __future__ import annotations
 
 import json
-import time
 
 import numpy as np
 
@@ -42,6 +38,7 @@ def main():
 
     from vision_kit_tpu.models import YOLOV5
     from vision_kit_tpu.ops.nms import postprocess_raw
+    from vision_kit_tpu.utils.stream_bench import measure_streaming
 
     size = 640
     model = YOLOV5(variant="s", num_classes=80, dtype=jnp.bfloat16)
@@ -50,43 +47,22 @@ def main():
     )
     anchors_px = model.anchors_px
 
-    @jax.jit
-    def infer_stream(images_u8, acc0):
-        def step(carry, k):
-            # per-step perturbation: content differs every iteration, so the
-            # normalize/forward/NMS chain is not loop-invariant
-            x_u8 = images_u8 + k.astype(jnp.uint8)
-            x = x_u8.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 255.0)
-            _, raws = model.apply(variables, x, training=False)
-            dets, valid = postprocess_raw(
-                raws, anchors_px, conf_thres=0.25, iou_thres=0.45,
-                max_det=300, max_cand=512, approx_topk=True,
-            )
-            carry = carry + jnp.sum(valid.astype(jnp.int32)) + jnp.sum(
-                dets[:, 0, 0].astype(jnp.int32)
-            )
-            return carry, ()
-
-        acc, _ = jax.lax.scan(step, acc0, jnp.arange(CHUNK, dtype=jnp.int32))
-        return acc
+    def step(x_u8):
+        x = x_u8.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 255.0)
+        _, raws = model.apply(variables, x, training=False)
+        dets, valid = postprocess_raw(
+            raws, anchors_px, conf_thres=0.25, iou_thres=0.45,
+            max_det=300, max_cand=512, approx_topk=True,
+        )
+        return jnp.sum(valid.astype(jnp.int32)) + jnp.sum(
+            dets[:, 0, 0].astype(jnp.int32)
+        )
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(
         rng.integers(0, 255, (BATCH, size, size, 3), dtype=np.uint8)
     )
-
-    # warmup / compile
-    acc = infer_stream(images, jnp.zeros((), jnp.int32))
-    _ = int(acc)
-
-    t0 = time.perf_counter()
-    acc = jnp.zeros((), jnp.int32)
-    for _ in range(ITERS):
-        acc = infer_stream(images, acc)
-    _ = int(acc)  # single readback; waits for every dispatched program
-    dt = time.perf_counter() - t0
-
-    images_per_sec = BATCH * CHUNK * ITERS / dt
+    images_per_sec = measure_streaming(step, images, CHUNK, ITERS)
     print(json.dumps({
         "metric": "yolov5s_640_images_per_sec",
         "value": round(images_per_sec, 2),

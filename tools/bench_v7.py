@@ -28,35 +28,25 @@ def main():
     )
     anchors_px = model.anchors_px
 
-    @jax.jit
-    def infer_stream(images_u8, acc0):
-        def step(carry, k):
-            x = (images_u8 + k.astype(jnp.uint8)).astype(jnp.bfloat16) \
-                * jnp.bfloat16(1.0 / 255.0)
-            _, raws = model.apply(variables, x, training=False)
-            dets, valid = postprocess_raw(
-                raws, anchors_px, conf_thres=0.25, iou_thres=0.45,
-                max_det=300, max_cand=512, approx_topk=True,
-            )
-            return carry + jnp.sum(valid.astype(jnp.int32)) + jnp.sum(
-                dets[:, 0, 0].astype(jnp.int32)), ()
+    from vision_kit_tpu.utils.stream_bench import measure_streaming
 
-        acc, _ = jax.lax.scan(step, acc0, jnp.arange(CHUNK, dtype=jnp.int32))
-        return acc
+    def step(x_u8):
+        x = x_u8.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 255.0)
+        _, raws = model.apply(variables, x, training=False)
+        dets, valid = postprocess_raw(
+            raws, anchors_px, conf_thres=0.25, iou_thres=0.45,
+            max_det=300, max_cand=512, approx_topk=True,
+        )
+        return jnp.sum(valid.astype(jnp.int32)) + jnp.sum(
+            dets[:, 0, 0].astype(jnp.int32))
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(
         rng.integers(0, 255, (BATCH, size, size, 3), dtype=np.uint8))
-    _ = int(infer_stream(images, jnp.zeros((), jnp.int32)))
-    t0 = time.perf_counter()
-    acc = jnp.zeros((), jnp.int32)
-    for _ in range(ITERS):
-        acc = infer_stream(images, acc)
-    _ = int(acc)
-    dt = time.perf_counter() - t0
+    ips = measure_streaming(step, images, CHUNK, ITERS)
     print(json.dumps({
         "metric": "yolov7base_640_images_per_sec",
-        "value": round(BATCH * CHUNK * ITERS / dt, 2),
+        "value": round(ips, 2),
         "unit": "img/s",
     }))
 

@@ -24,23 +24,6 @@ from vision_kit_tpu.data.mosaic import MosaicMixupDataset
 MAX_LABELS = 160
 
 
-def infinite_indices(
-    n: int, seed: int = 0, shard: int = 0, num_shards: int = 1, shuffle=True
-) -> Iterator[int]:
-    """Seeded infinite index stream, strided over shards (the reference
-    InfiniteSampler semantics: rank-strided slices of per-epoch randperms,
-    sampling.py:61-81)."""
-    epoch = 0
-    while True:
-        if shuffle:
-            rng = np.random.default_rng([seed, epoch])
-            perm = rng.permutation(n)
-        else:
-            perm = np.arange(n)
-        yield from perm[shard::num_shards].tolist()
-        epoch += 1
-
-
 class _IndexStream:
     """Random-access view of the infinite_indices stream: position p ->
     dataset index, computable from any worker without consuming a shared
@@ -50,6 +33,11 @@ class _IndexStream:
         self.n, self.seed = n, seed
         self.shard, self.num_shards, self.shuffle = shard, num_shards, shuffle
         self.shard_len = len(range(shard, n, num_shards))
+        if self.shard_len == 0:
+            raise ValueError(
+                f"shard {shard}/{num_shards} is empty: dataset has only {n} "
+                "samples — fewer than the shard count"
+            )
         self._epoch = -1
         self._slice = None
 
@@ -83,6 +71,21 @@ def pad_targets(labels_list, img_hw, max_labels=MAX_LABELS):
         out[i, :n, 3] = (lab[:, 2] - lab[:, 0]) / w
         out[i, :n, 4] = (lab[:, 3] - lab[:, 1]) / h
     return out
+
+
+
+def infinite_indices(
+    n: int, seed: int = 0, shard: int = 0, num_shards: int = 1, shuffle=True
+) -> Iterator[int]:
+    """Seeded infinite index stream, strided over shards (the reference
+    InfiniteSampler semantics: rank-strided slices of per-epoch randperms,
+    sampling.py:61-81)."""
+    stream = _IndexStream(n, seed=seed, shard=shard, num_shards=num_shards,
+                          shuffle=shuffle)
+    p = 0
+    while True:
+        yield stream.at(p)
+        p += 1
 
 
 class TrainLoader:
@@ -147,6 +150,7 @@ class TrainLoader:
         self._started = False
         self._procs: list = []
         self._mp_queues: list = []
+        self._next_bid = 0
 
     def _make_sample(self, sample_id: int, idx: int):
         rng = np.random.default_rng([self.seed, 77, sample_id])
@@ -181,36 +185,59 @@ class TrainLoader:
                 except queue.Full:
                     continue
 
-    def _proc_main(self, worker_id: int, out_q):
-        bid = worker_id
-        while True:
-            out_q.put(self._make_batch(bid))
-            bid += self.num_workers
-
     def _start_procs(self):
         import multiprocessing as mp
 
-        ctx = mp.get_context("fork")
+        # "spawn": the parent may hold live jax/PJRT/gRPC threads whose
+        # locks a fork()ed child would inherit mid-held (deadlock); spawned
+        # children re-import only this module's deps (numpy/cv2, no jax)
+        ctx = mp.get_context("spawn")
         for w in range(self.num_workers):
             q = ctx.Queue(maxsize=max(self.prefetch // self.num_workers, 1))
             p = ctx.Process(
-                target=self._proc_main, args=(w, q), daemon=True
+                target=_worker_main,
+                args=(q, self.mosaic_ds, self.pipeline, self.index_stream,
+                      self.batch_size, self.img_size, self.max_labels,
+                      self.seed, self._next_bid + w, self.num_workers),
+                daemon=True,
             )
             p.start()
             self._procs.append(p)
             self._mp_queues.append(q)
 
+    def _get_checked(self, q, worker_idx):
+        """Queue get with worker liveness checks and error propagation."""
+        import queue as _q
+
+        while True:
+            try:
+                item = q.get(timeout=5.0)
+                break
+            except _q.Empty:
+                p = self._procs[worker_idx]
+                if not p.is_alive():
+                    raise RuntimeError(
+                        f"data worker {worker_idx} died "
+                        f"(exitcode {p.exitcode})"
+                    )
+        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__error__":
+            raise RuntimeError(f"data worker {worker_idx} failed:\n{item[1]}")
+        return item
+
     def __iter__(self):
         if self.num_workers > 0:
             # multi-process workers (SURVEY.md "host augmentation
             # throughput"): worker w produces batches w, w+W, w+2W, ...;
-            # round-robin consumption keeps the exact single-thread order
+            # round-robin consumption keeps the exact single-thread order.
+            # _next_bid persists across iter() calls so re-iterating a live
+            # loader continues the stream in order.
             if not self._procs:
                 self._start_procs()
-            bid = 0
             while True:
-                yield self._mp_queues[bid % self.num_workers].get()
-                bid += 1
+                w = self._next_bid % self.num_workers
+                batch = self._get_checked(self._mp_queues[w], w)
+                self._next_bid += 1
+                yield batch
         else:
             if not self._started:
                 self._thread.start()
@@ -223,6 +250,35 @@ class TrainLoader:
         for p in self._procs:
             p.terminate()
         self._procs.clear()
+        self._mp_queues.clear()
+
+
+def _worker_main(out_q, mosaic_ds, pipeline, index_stream, batch_size,
+                 img_size, max_labels, seed, first_bid, stride):
+    """Top-level (picklable) worker: produce batches first_bid, first_bid +
+    stride, ... Deterministic per batch id regardless of worker count.
+    Exceptions are shipped to the consumer as an ("__error__", tb) item."""
+    import traceback
+
+    bid = first_bid
+    try:
+        while True:
+            imgs, labels = [], []
+            for k in range(batch_size):
+                sid = bid * batch_size + k
+                idx = index_stream.at(sid)
+                rng = np.random.default_rng([seed, 77, sid])
+                img, lab = mosaic_ds.getitem(rng, idx)
+                img, lab = pipeline(rng, img, lab)
+                imgs.append(img)
+                labels.append(lab)
+            out_q.put({
+                "image": np.stack(imgs),
+                "targets": pad_targets(labels, img_size, max_labels),
+            })
+            bid += stride
+    except Exception:
+        out_q.put(("__error__", traceback.format_exc()))
 
 
 class ValLoader:

@@ -1,0 +1,45 @@
+"""Shared scan-amortized streaming benchmark harness.
+
+The tunneled TPU test harness costs ~20 ms per program dispatch and
+`block_until_ready` does not block (CLAUDE.md), so throughput measurements
+must run CHUNK micro-batches per dispatch inside one `lax.scan` — with the
+input perturbed per step so XLA cannot hoist the work — and force
+completion with one device->host readback at the end. One implementation,
+used by bench.py, tools/bench_v7.py (and the protocol reference for
+tools/bench_split.py's mode variants).
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def measure_streaming(step_fn, images_u8, chunk: int, iters: int) -> float:
+    """Measure images/sec of `step_fn(images_u8) -> int32 scalar`.
+
+    step_fn must consume a uint8 image batch and return a small scalar that
+    depends on its full computation (the completion token). The harness
+    adds the per-step perturbation, the scan, warmup, and the readback.
+    Returns images per second.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def stream(imgs, acc0):
+        def body(carry, k):
+            x = imgs + k.astype(jnp.uint8)   # content differs per step
+            return carry + step_fn(x), ()
+
+        acc, _ = jax.lax.scan(body, acc0, jnp.arange(chunk, dtype=jnp.int32))
+        return acc
+
+    acc = stream(images_u8, jnp.zeros((), jnp.int32))
+    _ = int(acc)  # compile + warm
+    t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.int32)
+    for _ in range(iters):
+        acc = stream(images_u8, acc)
+    _ = int(acc)  # single readback; waits for every dispatched program
+    dt = time.perf_counter() - t0
+    return images_u8.shape[0] * chunk * iters / dt
