@@ -221,3 +221,19 @@ def test_train_loader_workers_deterministic(yolo_dir):
         np.testing.assert_array_equal(b0["targets"], b2["targets"])
     l0.close()
     l2.close()
+
+
+def test_train_loader_worker_crash_propagates(yolo_dir, tmp_path):
+    """A dying worker must surface as a RuntimeError, not a silent hang."""
+    import shutil
+
+    # dataset whose image files vanish after label caching -> decode error
+    root = tmp_path / "ds"
+    shutil.copytree(yolo_dir, root)
+    ds = YOLODataset(str(root), img_size=64)
+    for f in (root / "images").glob("*.jpg"):
+        f.write_bytes(b"not a jpeg")
+    loader = TrainLoader(ds, 2, img_size=64, aug_cfg={}, num_workers=1)
+    with pytest.raises(RuntimeError, match="worker"):
+        next(iter(loader))
+    loader.close()

@@ -155,3 +155,71 @@ def test_trainer_cycle(tmp_path):
     )
     trainer.train_loader.close()
     trainer2.train_loader.close()
+
+
+def test_trainer_crash_saves_checkpoint(tmp_path, monkeypatch):
+    """An exception mid-training must save a resumable 'last' checkpoint
+    with the real epoch (reference ModelCkpt.on_exception)."""
+    import json
+
+    from vision_kit_tpu.parallel.mesh import make_mesh
+    from vision_kit_tpu.train.trainer import Trainer
+    from vision_kit_tpu.utils.config import ConfigNode
+
+    rng = np.random.default_rng(0)
+    for split in ("train", "valid"):
+        (tmp_path / split / "images").mkdir(parents=True)
+        (tmp_path / split / "labels").mkdir(parents=True)
+        for i in range(2):
+            cv2.imwrite(str(tmp_path / split / "images" / f"{i}.jpg"),
+                        np.full((96, 96, 3), 90, np.uint8))
+            (tmp_path / split / "labels" / f"{i}.txt").write_text(
+                "0 0.5 0.5 0.4 0.3")
+    cfg = ConfigNode.wrap({
+        "model": {"name": "YOLOv5", "version": "n", "num_classes": 2,
+                  "input_size": [64, 64], "act": "silu", "deploy": False,
+                  "weight": ""},
+        "data": {"data_format": "yolo", "data_dir": str(tmp_path),
+                 "output_dir": str(tmp_path / "out"), "train_path": "train",
+                 "val_path": "valid", "batch_size": 2, "max_epochs": 5,
+                 "num_workers": 0, "filter_classes": [],
+                 "class_labels": ["a", "b"], "ckpt_interval": 100},
+        "testing": {"conf_thresh": 0.01, "iou_thresh": 0.6,
+                    "val_interval": 100},
+        "hypermeters": {"lr0": 0.01, "lrf": 0.01, "momentum": 0.937,
+                        "weight_decay": 0.0005, "warmup_epochs": 0.0,
+                        "warmup_bias_lr": 0.1, "warmup_momentum": 0.8,
+                        "box": 0.05, "cls": 0.5, "obj": 1.0, "cls_pw": 1.0,
+                        "obj_pw": 1.0, "iou_t": 0.2, "anchor_t": 4.0,
+                        "fl_gamma": 0.0, "label_smoothing": 0.0},
+        "augmentations": {"degrees": 0.0, "translate": 0.1, "scale": 0.5,
+                          "shear": 0.0, "flip_ud_prob": 0.0,
+                          "flip_lr_prob": 0.0, "mosaic_prob": 0.0,
+                          "mixup_prob": 0.0, "hsv_prob": 0.0},
+    })
+    os.makedirs(cfg.data.output_dir, exist_ok=True)
+    trainer = Trainer(cfg, mesh=make_mesh(n_data=1, n_model=1),
+                      use_tensorboard=False)
+
+    calls = {"n": 0}
+    orig = trainer.train_step
+
+    def exploding_step(state, batch):
+        calls["n"] += 1
+        if calls["n"] > 3:  # blow up during epoch 3 (step 4)
+            raise RuntimeError("boom")
+        return orig(state, batch)
+
+    trainer.train_step = exploding_step
+    with pytest.raises(RuntimeError, match="boom"):
+        trainer.fit()
+    path = os.path.join(cfg.data.output_dir, "ckpts", "last")
+    assert os.path.exists(path)
+    meta = json.load(open(path + ".meta.json"))
+    assert meta["epoch"] == 3  # the epoch the crash happened in
+    # and it restores
+    trainer2 = Trainer(cfg, mesh=make_mesh(n_data=1, n_model=1),
+                       use_tensorboard=False)
+    assert trainer2.load_checkpoint(path) == 3
+    trainer.train_loader.close()
+    trainer2.train_loader.close()
