@@ -223,3 +223,22 @@ def test_trainer_crash_saves_checkpoint(tmp_path, monkeypatch):
     assert trainer2.load_checkpoint(path) == 3
     trainer.train_loader.close()
     trainer2.train_loader.close()
+
+
+def test_predict_batch_multichip(tiny_model):
+    """Predictor with a mesh shards predict_batch over the data axis and
+    matches the single-chip results."""
+    from vision_kit_tpu.parallel.mesh import make_mesh
+
+    model, variables = tiny_model
+    rng = np.random.default_rng(2)
+    imgs = rng.integers(0, 255, (8, 200, 300, 3), dtype=np.uint8)
+    p1 = Predictor(model, variables, img_size=192, conf_thres=0.01,
+                   max_cand=256, max_det=50)
+    p8 = Predictor(model, variables, img_size=192, conf_thres=0.01,
+                   max_cand=256, max_det=50, mesh=make_mesh(n_data=8))
+    d1, _ = p1.predict_batch(imgs)
+    d8, _ = p8.predict_batch(imgs)
+    assert len(d1) == len(d8) == 8
+    for a, b in zip(d1, d8):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)

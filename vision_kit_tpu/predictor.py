@@ -38,9 +38,15 @@ class Predictor:
         max_cand: int = 1024,
         multi_label: bool = False,
         approx_topk: bool = True,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh for multi-chip serving — batches
+        passed to predict_batch are sharded over the "data" axis (weights
+        replicate automatically); batch size must be a multiple of the data
+        axis. Single-image calls stay single-chip."""
         self.model = model
         self.variables = variables
+        self.mesh = mesh
         self.img_size = (
             (img_size, img_size) if isinstance(img_size, int) else tuple(img_size)
         )
@@ -66,7 +72,6 @@ class Predictor:
         # with decode_order="reference" (parity mode)
         anchor_major = getattr(self.model, "decode_order", "native") == "reference" 
 
-        @jax.jit
         def run(imgs_u8):
             x = jax.vmap(lambda im: letterbox_device(im, dst)[0])(imgs_u8)
             decoded, raws = self.model.apply(self.variables, x, training=False)
@@ -102,7 +107,12 @@ class Predictor:
             dets = jnp.concatenate([boxes, dets[..., 4:]], axis=-1)
             return dets, valid
 
-        return run
+        if self.mesh is not None and batch > 1:
+            from vision_kit_tpu.parallel.mesh import batch_sharding
+
+            data = batch_sharding(self.mesh)
+            return jax.jit(run, in_shardings=data, out_shardings=(data, data))
+        return jax.jit(run)
 
     def warmup(self, src_hw: tuple[int, int], batch: int = 1):
         key = (tuple(src_hw), batch)
