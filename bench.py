@@ -22,8 +22,6 @@ from __future__ import annotations
 
 import json
 
-import numpy as np
-
 A100_IMAGES_PER_SEC = 900.0  # public ultralytics anchor (see docstring)
 TARGET = 3.0 * A100_IMAGES_PER_SEC
 
@@ -33,42 +31,16 @@ ITERS = 2    # timed dispatches
 
 
 def main():
-    import jax
     import jax.numpy as jnp
 
     from vision_kit_tpu.models import YOLOV5
-    from vision_kit_tpu.ops.nms import postprocess_raw
-    from vision_kit_tpu.utils.stream_bench import measure_streaming
+    from vision_kit_tpu.utils.stream_bench import run_detector_bench
 
-    size = 640
     model = YOLOV5(variant="s", num_classes=80, dtype=jnp.bfloat16)
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), training=False
-    )
-    anchors_px = model.anchors_px
-
-    def step(x_u8):
-        x = x_u8.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 255.0)
-        _, raws = model.apply(variables, x, training=False)
-        dets, valid = postprocess_raw(
-            raws, anchors_px, conf_thres=0.25, iou_thres=0.45,
-            max_det=300, max_cand=512, approx_topk=True,
-        )
-        return jnp.sum(valid.astype(jnp.int32)) + jnp.sum(
-            dets[:, 0, 0].astype(jnp.int32)
-        )
-
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.integers(0, 255, (BATCH, size, size, 3), dtype=np.uint8)
-    )
-    images_per_sec = measure_streaming(step, images, CHUNK, ITERS)
-    print(json.dumps({
-        "metric": "yolov5s_640_images_per_sec",
-        "value": round(images_per_sec, 2),
-        "unit": "img/s",
-        "vs_baseline": round(images_per_sec / TARGET, 3),
-    }))
+    print(json.dumps(run_detector_bench(
+        model, "yolov5s_640_images_per_sec", batch=BATCH, chunk=CHUNK,
+        iters=ITERS, target=TARGET,
+    )))
 
 
 if __name__ == "__main__":

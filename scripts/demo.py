@@ -95,7 +95,11 @@ def main():
             print(f"{path}: {len(dets)} detections in {ms:.2f} ms (fused e2e)")
             out = drawer.draw(bgr, dets)
             if single_file_out:
-                cv2.imwrite(single_file_out, out)
+                parent = os.path.dirname(single_file_out)
+                if parent:
+                    os.makedirs(parent, exist_ok=True)
+                if not cv2.imwrite(single_file_out, out):
+                    raise RuntimeError(f"failed to write {single_file_out}")
                 out_path = single_file_out
             else:
                 out_path = reader.save(out, path)

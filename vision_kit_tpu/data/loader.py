@@ -152,31 +152,22 @@ class TrainLoader:
         self._mp_queues: list = []
         self._next_bid = 0
 
-    def _make_sample(self, sample_id: int, idx: int):
-        rng = np.random.default_rng([self.seed, 77, sample_id])
-        img, labels = self.mosaic_ds.getitem(rng, idx)
-        img, labels = self.pipeline(rng, img, labels)
-        return img, labels
-
     def _make_batch(self, batch_id: int):
-        """Deterministic batch `batch_id`: index-stream positions
-        [bid*B, (bid+1)*B), per-sample seeded aug — identical output for any
-        worker count."""
-        imgs, labels = [], []
-        for k in range(self.batch_size):
-            sid = batch_id * self.batch_size + k
-            idx = self.index_stream.at(sid)
-            img, lab = self._make_sample(sid, idx)
-            imgs.append(img)
-            labels.append(lab)
-        images = np.stack(imgs)  # uint8; normalized on device in the jitted step
-        targets = pad_targets(labels, self.img_size, self.max_labels)
-        return {"image": images, "targets": targets}
+        return _make_batch(
+            self.mosaic_ds, self.pipeline, self.index_stream,
+            self.batch_size, self.img_size, self.max_labels, self.seed,
+            batch_id,
+        )
 
     def _worker(self):
-        bid = 0
+        import traceback
+
+        bid = self._next_bid
         while not self._stop.is_set():
-            batch = self._make_batch(bid)
+            try:
+                batch = self._make_batch(bid)
+            except Exception:
+                batch = ("__error__", traceback.format_exc())
             bid += 1
             while not self._stop.is_set():
                 try:
@@ -184,6 +175,8 @@ class TrainLoader:
                     break
                 except queue.Full:
                     continue
+            if isinstance(batch, tuple):
+                return  # stop after shipping the error
 
     def _start_procs(self):
         import multiprocessing as mp
@@ -192,6 +185,7 @@ class TrainLoader:
         # locks a fork()ed child would inherit mid-held (deadlock); spawned
         # children re-import only this module's deps (numpy/cv2, no jax)
         ctx = mp.get_context("spawn")
+        self._qbase = self._next_bid  # worker w owns bids qbase + w + i*W
         for w in range(self.num_workers):
             q = ctx.Queue(maxsize=max(self.prefetch // self.num_workers, 1))
             p = ctx.Process(
@@ -234,19 +228,34 @@ class TrainLoader:
             if not self._procs:
                 self._start_procs()
             while True:
-                w = self._next_bid % self.num_workers
+                # worker assignment is relative to the bid the current
+                # worker set started at (a post-close() restart may begin
+                # at any _next_bid)
+                w = (self._next_bid - self._qbase) % self.num_workers
                 batch = self._get_checked(self._mp_queues[w], w)
                 self._next_bid += 1
                 yield batch
         else:
             if not self._started:
+                self._stop.clear()
+                # fresh queue: leftover buffered batches from a closed
+                # producer would duplicate the restarted producer's bids
+                self._queue = queue.Queue(maxsize=self.prefetch)
+                self._thread = threading.Thread(
+                    target=self._worker, daemon=True
+                )
                 self._thread.start()
                 self._started = True
             while True:
-                yield self._queue.get()
+                item = self._queue.get()
+                if isinstance(item, tuple) and item and item[0] == "__error__":
+                    raise RuntimeError(f"data worker failed:\n{item[1]}")
+                self._next_bid += 1
+                yield item
 
     def close(self):
         self._stop.set()
+        self._started = False
         for p in self._procs:
             p.terminate()
         self._procs.clear()
@@ -263,22 +272,33 @@ def _worker_main(out_q, mosaic_ds, pipeline, index_stream, batch_size,
     bid = first_bid
     try:
         while True:
-            imgs, labels = [], []
-            for k in range(batch_size):
-                sid = bid * batch_size + k
-                idx = index_stream.at(sid)
-                rng = np.random.default_rng([seed, 77, sid])
-                img, lab = mosaic_ds.getitem(rng, idx)
-                img, lab = pipeline(rng, img, lab)
-                imgs.append(img)
-                labels.append(lab)
-            out_q.put({
-                "image": np.stack(imgs),
-                "targets": pad_targets(labels, img_size, max_labels),
-            })
+            out_q.put(_make_batch(mosaic_ds, pipeline, index_stream,
+                                  batch_size, img_size, max_labels, seed,
+                                  bid))
             bid += stride
     except Exception:
         out_q.put(("__error__", traceback.format_exc()))
+
+
+def _make_batch(mosaic_ds, pipeline, index_stream, batch_size, img_size,
+                max_labels, seed, batch_id):
+    """Deterministic batch `batch_id`: index-stream positions
+    [bid*B, (bid+1)*B), per-sample `default_rng([seed, 77, sid])` aug —
+    identical output for any worker count. The single source of truth for
+    both the thread and the spawned-process paths."""
+    imgs, labels = [], []
+    for k in range(batch_size):
+        sid = batch_id * batch_size + k
+        idx = index_stream.at(sid)
+        rng = np.random.default_rng([seed, 77, sid])
+        img, lab = mosaic_ds.getitem(rng, idx)
+        img, lab = pipeline(rng, img, lab)
+        imgs.append(img)
+        labels.append(lab)
+    return {
+        "image": np.stack(imgs),  # uint8; normalized on device in the step
+        "targets": pad_targets(labels, img_size, max_labels),
+    }
 
 
 class ValLoader:

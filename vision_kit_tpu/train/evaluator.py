@@ -120,8 +120,11 @@ class DetEvaluator:
         self.gt_json = gt_json
         # contiguous class index -> dataset category id for COCO-json export
         # (reference det_evaluator.py:116-123 reads them from the gt json);
-        # 80-class taxonomies default to the official COCO-91 id table
-        if len(self.class_labels) == 80:
+        # the actual COCO taxonomy defaults to the official COCO-91 id table
+        # (a custom 80-class dataset keeps contiguous ids)
+        from vision_kit_tpu.classes import COCO as COCO_NAMES
+
+        if list(self.class_labels) == list(COCO_NAMES):
             from vision_kit_tpu.utils.general import coco80_to_coco91_class
 
             self.class_ids = coco80_to_coco91_class()

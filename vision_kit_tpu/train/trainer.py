@@ -33,6 +33,16 @@ from vision_kit_tpu.utils.logging_utils import logger
 from vision_kit_tpu.utils.table import RichTable
 
 
+def _wandb_netrc_login() -> bool:
+    """True when `wandb login` stored credentials in ~/.netrc."""
+    try:
+        import netrc
+
+        return netrc.netrc().authenticators("api.wandb.ai") is not None
+    except Exception:
+        return False
+
+
 class Trainer:
     def __init__(self, cfg, evaluator: DetEvaluator | None = None,
                  mesh=None, use_tensorboard: bool = True):
@@ -141,7 +151,8 @@ class Trainer:
         # WandB only when credentials/mode are configured (an unconditional
         # wandb.init blocks on an interactive login prompt on fresh machines)
         self.wandb = None
-        if os.environ.get("WANDB_API_KEY") or os.environ.get("WANDB_MODE"):
+        if (os.environ.get("WANDB_API_KEY") or os.environ.get("WANDB_MODE")
+                or _wandb_netrc_login()):
             try:
                 import wandb
 
@@ -258,8 +269,10 @@ class Trainer:
             self._fit(resume)
         except BaseException:
             try:
+                # record the last COMPLETED epoch so resume (+1) re-runs the
+                # interrupted one instead of skipping it
                 self.save_checkpoint(
-                    "last", getattr(self, "_cur_epoch", 0), blocking=True
+                    "last", getattr(self, "_cur_epoch", 0) - 1, blocking=True
                 )
                 if self.best_map50 > 0:
                     self._export_best_weights(self.best_map50)

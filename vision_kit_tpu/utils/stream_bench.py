@@ -43,3 +43,43 @@ def measure_streaming(step_fn, images_u8, chunk: int, iters: int) -> float:
     _ = int(acc)  # single readback; waits for every dispatched program
     dt = time.perf_counter() - t0
     return images_u8.shape[0] * chunk * iters / dt
+
+
+def run_detector_bench(model, metric: str, batch: int, chunk: int,
+                       iters: int, size: int = 640, target: float | None = None,
+                       seed: int = 0) -> dict:
+    """End-to-end detector throughput: normalize + forward + fused
+    candidate-before-decode postprocess + NMS (the bench.py protocol),
+    parameterized by model. Returns the printed-record dict."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from vision_kit_tpu.ops.nms import postprocess_raw
+
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), training=False
+    )
+    anchors_px = model.anchors_px
+
+    def step(x_u8):
+        x = x_u8.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 255.0)
+        _, raws = model.apply(variables, x, training=False)
+        dets, valid = postprocess_raw(
+            raws, anchors_px, conf_thres=0.25, iou_thres=0.45,
+            max_det=300, max_cand=512, approx_topk=True,
+        )
+        return jnp.sum(valid.astype(jnp.int32)) + jnp.sum(
+            dets[:, 0, 0].astype(jnp.int32)
+        )
+
+    rng = np.random.default_rng(seed)
+    images = jnp.asarray(
+        rng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8)
+    )
+    ips = measure_streaming(step, images, chunk, iters)
+    record = {"metric": metric, "value": round(ips, 2), "unit": "img/s"}
+    if target:
+        record["vs_baseline"] = round(ips / target, 3)
+    return record
