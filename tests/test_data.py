@@ -59,6 +59,33 @@ def test_yolo_dataset_loads(yolo_dir):
     assert (labels[:, :4] >= -1).all()
 
 
+@pytest.mark.parametrize("mode", ["ram", "disk"])
+def test_image_cache_parity(yolo_dir, mode):
+    """RAM/disk image caches must be sample-for-sample identical to the
+    uncached path, and the disk cache must serve reads without touching the
+    original files again."""
+    import pickle
+
+    plain = YOLODataset(yolo_dir, img_size=320)
+    cached = YOLODataset(yolo_dir, img_size=320, cache_images=mode)
+    for i in range(len(plain)):
+        img_a, lab_a, hw0_a, _ = plain.pull_item(i)
+        img_b, lab_b, hw0_b, _ = cached.pull_item(i)
+        np.testing.assert_array_equal(img_a, img_b)
+        np.testing.assert_array_equal(lab_a, lab_b)
+        assert hw0_a == hw0_b
+    # cached datasets must survive pickling (spawn-based loader workers)
+    clone = pickle.loads(pickle.dumps(cached))
+    img_c, _, _, _ = clone.pull_item(3)
+    np.testing.assert_array_equal(img_c, plain.pull_item(3)[0])
+    if mode == "disk":
+        # a second instance reuses the cache file: break decode to prove it
+        ds2 = YOLODataset(yolo_dir, img_size=320, cache_images="disk")
+        ds2.load_image = None  # would raise if the decode path were hit
+        img_d, _, _, _ = ds2.pull_item(5)
+        np.testing.assert_array_equal(img_d, plain.pull_item(5)[0])
+
+
 def test_label_cache_roundtrip(yolo_dir):
     ds1 = YOLODataset(yolo_dir, img_size=320, cache=True)
     ds2 = YOLODataset(yolo_dir, img_size=320, cache=True)  # from cache

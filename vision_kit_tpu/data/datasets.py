@@ -39,7 +39,89 @@ def _img2label_path(img_path: str) -> str:
     return base + ".txt"
 
 
-class YOLODataset:
+class _ImageCacheMixin:
+    """RAM/disk cache of the load-time-resized images (counterpart of the
+    reference's RAM/disk image caches, yolo.py:112-143 and the COCO memmap
+    cache coco.py:77-125).
+
+    `cache_images` in {None, "ram", "disk"}. Both modes store the image
+    *after* the load-time min-ratio resize (what pull_item needs), so every
+    later epoch skips JPEG decode + resize entirely. The disk cache is a
+    single memmap of shape (n, max_h, max_w, 3) plus an int32 (n, 4) meta
+    array [h, w, h0, w0]; it is keyed by the file list + input size and is
+    reused across runs and across spawn-based loader workers (the memmap
+    handle is dropped on pickling and reopened lazily in the worker)."""
+
+    def _init_img_cache(self, cache_images, cache_key: str, base_dir: str):
+        assert cache_images in (None, "", False, "ram", "disk"), (
+            f"cache_images must be None, 'ram' or 'disk', got {cache_images!r}"
+        )
+        self.cache_images = cache_images or None
+        self._ram_cache = None
+        self._mm = None
+        self._mm_meta = None
+        if not self.cache_images:
+            return
+        maxh, maxw = self.input_dim
+        if self.cache_images == "ram":
+            self._ram_cache = [None] * len(self)
+            for i in range(len(self)):
+                self._ram_cache[i] = self._decode_resized(i)
+            logger.info("cached %d images in RAM", len(self))
+            return
+        tag = hashlib.md5(
+            f"{cache_key}|{maxh}x{maxw}".encode()
+        ).hexdigest()[:12]
+        self._mm_path = os.path.join(base_dir, f".vk_imgcache_{tag}.dat")
+        self._mm_shape = (len(self), maxh, maxw, 3)
+        meta_path = self._mm_path + ".meta.npy"
+        if os.path.exists(self._mm_path) and os.path.exists(meta_path):
+            try:
+                meta = np.load(meta_path)
+                if meta.shape == (len(self), 4):
+                    self._mm_meta = meta
+                    self._mm = np.memmap(self._mm_path, np.uint8, "r",
+                                         shape=self._mm_shape)
+                    logger.info("reusing disk image cache %s", self._mm_path)
+                    return
+            except Exception:
+                logger.warning("disk image cache unreadable, rebuilding")
+        mm = np.memmap(self._mm_path, np.uint8, "w+", shape=self._mm_shape)
+        meta = np.zeros((len(self), 4), np.int32)
+        for i in range(len(self)):
+            img, (h0, w0) = self._decode_resized(i)
+            h, w = img.shape[:2]
+            mm[i, :h, :w] = img
+            meta[i] = (h, w, h0, w0)
+        mm.flush()
+        np.save(meta_path, meta)
+        self._mm_meta = meta
+        self._mm = np.memmap(self._mm_path, np.uint8, "r",
+                             shape=self._mm_shape)
+        logger.info("built disk image cache %s", self._mm_path)
+
+    def _get_resized(self, idx: int):
+        """(resized_rgb_uint8, (h0, w0)) through the cache if enabled."""
+        if self._ram_cache is not None:
+            img, hw0 = self._ram_cache[idx]
+            return img.copy(), hw0
+        if self.cache_images == "disk":
+            if self._mm is None:  # reopened lazily after pickling to a worker
+                self._mm = np.memmap(self._mm_path, np.uint8, "r",
+                                     shape=self._mm_shape)
+                if self._mm_meta is None:
+                    self._mm_meta = np.load(self._mm_path + ".meta.npy")
+            h, w, h0, w0 = (int(v) for v in self._mm_meta[idx])
+            return np.array(self._mm[idx, :h, :w]), (h0, w0)
+        return self._decode_resized(idx)
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_mm"] = None  # memmap handles don't pickle; reopen in worker
+        return state
+
+
+class YOLODataset(_ImageCacheMixin):
     """YOLO-format dataset (reference data/datasets/yolo.py:21-299)."""
 
     def __init__(
@@ -48,6 +130,7 @@ class YOLODataset:
         img_size=(640, 640),
         filter_classes=(),
         cache: bool = True,
+        cache_images: str | None = None,
     ):
         self.data_dir = data_dir
         self.input_dim = (
@@ -68,6 +151,9 @@ class YOLODataset:
             )
         assert self.img_files, f"No images found under {data_dir}"
         self.labels = self._load_labels(cache)
+        self._init_img_cache(
+            cache_images, "\n".join(self.img_files), self.data_dir
+        )
 
     # -- label cache ------------------------------------------------------
     def _cache_path(self) -> str:
@@ -128,7 +214,7 @@ class YOLODataset:
         pull_item (labels scale with the image)."""
         return self.pull_item(idx)[1]
 
-    def pull_item(self, idx: int):
+    def _decode_resized(self, idx: int):
         img = self.load_image(idx)
         h0, w0 = img.shape[:2]
         r = min(self.input_dim[0] / h0, self.input_dim[1] / w0)
@@ -138,6 +224,10 @@ class YOLODataset:
                 (int(w0 * r), int(h0 * r)),
                 interpolation=cv2.INTER_LINEAR,
             )
+        return img, (h0, w0)
+
+    def pull_item(self, idx: int):
+        img, (h0, w0) = self._get_resized(idx)
         h, w = img.shape[:2]
         rows = self.labels[idx]
         out = np.zeros((len(rows), 5), np.float32)
@@ -156,7 +246,7 @@ class YOLODataset:
         return img, out, (h0, w0), idx
 
 
-class COCODataset:
+class COCODataset(_ImageCacheMixin):
     """COCO-json dataset (reference data/datasets/coco.py:19-237), parsed
     with stdlib json. Annotations are cleaned (x2>x1, y2>y1, area>0) and
     pre-scaled to the load-time resize like the reference (:161-162)."""
@@ -168,6 +258,7 @@ class COCODataset:
         name: str = "train2017",
         img_size=(640, 640),
         filter_classes=(),
+        cache_images: str | None = None,
     ):
         self.data_dir = data_dir
         self.name = name
@@ -218,6 +309,11 @@ class COCODataset:
                     "labels": np.asarray(rows, np.float32).reshape(-1, 5),
                 }
             )
+        self._init_img_cache(
+            cache_images,
+            self.name + "\n" + "\n".join(i["file_name"] for i in self.items),
+            self.data_dir,
+        )
 
     def __len__(self):
         return len(self.items)
@@ -230,7 +326,7 @@ class COCODataset:
         labels[:, :4] *= r
         return labels
 
-    def pull_item(self, idx: int):
+    def _decode_resized(self, idx: int):
         item = self.items[idx]
         path = os.path.join(self.data_dir, self.name, item["file_name"])
         img = cv2.imread(path)
@@ -243,6 +339,12 @@ class COCODataset:
                 img, (int(w0 * r), int(h0 * r)),
                 interpolation=cv2.INTER_LINEAR,
             )
+        return img, (h0, w0)
+
+    def pull_item(self, idx: int):
+        item = self.items[idx]
+        img, (h0, w0) = self._get_resized(idx)
+        r = min(self.input_dim[0] / h0, self.input_dim[1] / w0)
         labels = item["labels"].copy()
         labels[:, :4] *= r
         return img, labels, (h0, w0), item["id"]

@@ -176,25 +176,32 @@ class Trainer:
 
         cfg = self.cfg
         fmt = cfg.data.data_format
+        # optional RAM/disk image cache (reference yolo.py:112-143 /
+        # coco.py:77-125); cfg key `data.cache_images: ram|disk`
+        cache_images = getattr(cfg.data, "cache_images", None) or None
         if fmt == "yolo":
             train_ds = YOLODataset(
                 os.path.join(cfg.data.data_dir, cfg.data.train_path),
                 img_size=self.img_size,
                 filter_classes=list(cfg.data.filter_classes or []),
+                cache_images=cache_images,
             )
             val_ds = YOLODataset(
                 os.path.join(cfg.data.data_dir, cfg.data.val_path),
                 img_size=self.img_size,
                 filter_classes=list(cfg.data.filter_classes or []),
+                cache_images=cache_images,
             )
         elif fmt == "coco":
             train_ds = COCODataset(
                 cfg.data.data_dir, json_file="instances_train2017.json",
                 name=cfg.data.train_path, img_size=self.img_size,
+                cache_images=cache_images,
             )
             val_ds = COCODataset(
                 cfg.data.data_dir, json_file="instances_val2017.json",
                 name=cfg.data.val_path, img_size=self.img_size,
+                cache_images=cache_images,
             )
         else:
             raise ValueError(f"unknown data_format {fmt!r}")
