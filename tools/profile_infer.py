@@ -1,0 +1,113 @@
+"""Capture a jax.profiler trace of the fused inference step and print the
+top XLA ops by device self-time.
+
+Reads the xplane proto with TF's xplane_pb2 (TF is already a dependency via
+the jax2tf export path). Only the "XLA Ops" line of the TPU device plane is
+aggregated — async copy lines overlap real compute and must not be summed
+(DESIGN.md measurement discipline).
+
+Usage: python tools/profile_infer.py [--batch 128] [--chunk 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def capture(trace_dir: str, batch: int, chunk: int):
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from vision_kit_tpu.models import YOLOV5
+    from vision_kit_tpu.ops.nms import postprocess_raw
+
+    size = 640
+    model = YOLOV5(variant="s", num_classes=80, dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), training=False
+    )
+    anchors_px = model.anchors_px
+
+    def step(x_u8):
+        x = x_u8.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 255.0)
+        _, raws = model.apply(variables, x, training=False)
+        dets, valid = postprocess_raw(
+            raws, anchors_px, conf_thres=0.25, iou_thres=0.45,
+            max_det=300, max_cand=512, approx_topk=True,
+        )
+        return jnp.sum(valid.astype(jnp.int32)) + jnp.sum(
+            dets[:, 0, 0].astype(jnp.int32)
+        )
+
+    @jax.jit
+    def stream(imgs, acc0):
+        def body(carry, k):
+            return carry + step(imgs + k.astype(jnp.uint8)), ()
+
+        acc, _ = jax.lax.scan(body, acc0, jnp.arange(chunk, dtype=jnp.int32))
+        return acc
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(
+        rng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8)
+    )
+    _ = int(stream(imgs, jnp.zeros((), jnp.int32)))  # compile + warm
+    with jax.profiler.trace(trace_dir):
+        _ = int(stream(imgs, jnp.zeros((), jnp.int32)))
+
+
+def summarize(trace_dir: str, top: int = 30):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(
+        os.path.join(trace_dir, "plugins/profile/*/*.xplane.pb")
+    )
+    assert paths, f"no xplane under {trace_dir}"
+    xspace = xplane_pb2.XSpace()
+    with open(sorted(paths)[-1], "rb") as f:
+        xspace.ParseFromString(f.read())
+
+    for plane in xspace.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+            continue
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            ev_meta = plane.event_metadata
+            tot = defaultdict(int)
+            n = defaultdict(int)
+            total_ps = 0
+            for ev in line.events:
+                name = ev_meta[ev.metadata_id].name
+                tot[name] += ev.duration_ps
+                n[name] += 1
+                total_ps += ev.duration_ps
+            print(f"plane={plane.name}  total XLA-op time "
+                  f"{total_ps / 1e9:.3f} ms")
+            for name, ps in sorted(tot.items(), key=lambda kv: -kv[1])[:top]:
+                print(f"{ps / 1e9:9.3f} ms  {100 * ps / total_ps:5.1f}%  "
+                      f"x{n[name]:<4d} {name[:110]}")
+            return
+    print("no TPU 'XLA Ops' line found; planes:",
+          [p.name for p in xspace.planes])
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=4)
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--dir", default="/tmp/vk_profile")
+    ap.add_argument("--summarize-only", action="store_true")
+    args = ap.parse_args()
+    if not args.summarize_only:
+        capture(args.dir, args.batch, args.chunk)
+    summarize(args.dir, args.top)

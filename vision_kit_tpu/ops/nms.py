@@ -300,7 +300,21 @@ def postprocess_raw(
             return jax.lax.approx_max_k(scores, k, recall_target=0.95)
         return jax.lax.top_k(scores, k)
 
-    cand_scores, cand_boxes, cand_cls = [], [], []
+    # Stage 1 — per-level streaming reductions, then ONE global top-k.
+    # Two design points, both profile-driven (tools/profile_infer.py):
+    #  * Slice BEFORE flattening: reshaping the whole (…, no) map to
+    #    (b, n, no) makes XLA materialize a full-map layout copy (the conv
+    #    output is channel-minor; ~2.6 ms/batch128 for P3 alone). Slicing
+    #    first keeps the nc-wide class reduction in the conv's native layout
+    #    (one streaming read) and relayouts only the 4 xywh channels.
+    #  * One GLOBAL top-k over the concatenated per-level scores instead of
+    #    per-level top-k + a second global cut: TPU gathers cost ~10 ns/row,
+    #    so the two-stage version pays 3x per-level gathers of (B*k) rows
+    #    plus a second sort + gather set (~2.5 ms/batch128). Results are
+    #    identical whenever the over-threshold candidates fit in max_cand
+    #    (the serving case) and strictly better-ordered otherwise (true
+    #    global best-k rather than per-level caps).
+    score_parts, cls_parts, xywh_parts, shapes = [], [], [], []
     for li in range(nl):
         raw = raws[li]
         if anchor_major:
@@ -308,58 +322,69 @@ def postprocess_raw(
         else:
             _, ny, nx, na, no = raw.shape
         n = na * ny * nx
-        k = min(max_cand, n)
-        flat = raw.reshape(b, n, no)
-        cls_logits = flat[..., 5:]
+        shapes.append((na, ny, nx, n))
+        cls_logits = raw[..., 5:]                   # (…, nc), native layout
         if classes is not None:
+            bshape = (1,) * (cls_logits.ndim - 1) + (-1,)
             cls_logits = jnp.where(
-                classes[None, None, :], cls_logits,
+                classes.reshape(bshape), cls_logits,
                 jnp.asarray(-jnp.inf, cls_logits.dtype),
             )
-        best_cls = jnp.argmax(cls_logits, axis=-1)              # (B, n)
-        best_logit = jnp.max(cls_logits, axis=-1)
-        score = jax.nn.sigmoid(flat[..., 4].astype(jnp.float32)) * \
+        best_cls = jnp.argmax(cls_logits, axis=-1).reshape(b, n)
+        best_logit = jnp.max(cls_logits, axis=-1).reshape(b, n)
+        obj_logit = raw[..., 4].reshape(b, n)
+        score = jax.nn.sigmoid(obj_logit.astype(jnp.float32)) * \
             jax.nn.sigmoid(best_logit.astype(jnp.float32))
-        neg = jnp.asarray(NEG_INF, score.dtype)
-        gated = jnp.where(score > conf_thres, score, neg)
-        top_s, top_i = jax.vmap(lambda s: topk(s, k))(gated)    # (B, k)
+        score_parts.append(score)
+        cls_parts.append(best_cls)
+        xywh_parts.append(raw[..., :4].reshape(b, n, 4))
 
-        sel = jnp.take_along_axis(
-            flat[..., :4], top_i[..., None], axis=1
-        ).astype(jnp.float32)                                   # (B, k, 4)
-        sel_cls = jnp.take_along_axis(best_cls, top_i, axis=1)
-        # flat index -> grid position + anchor
+    scores_all = jnp.concatenate(score_parts, axis=1)       # (B, N)
+    cls_all = jnp.concatenate(cls_parts, axis=1)
+    xywh_all = jnp.concatenate(xywh_parts, axis=1)          # (B, N, 4)
+    n_total = scores_all.shape[1]
+    k = min(max_cand, n_total)
+
+    neg = jnp.asarray(NEG_INF, scores_all.dtype)
+    gated = jnp.where(scores_all > conf_thres, scores_all, neg)
+    top_s, top_i = jax.vmap(lambda s: topk(s, k))(gated)    # (B, k)
+
+    sel = jnp.take_along_axis(
+        xywh_all, top_i[..., None], axis=1
+    ).astype(jnp.float32)                                   # (B, k, 4)
+    cls = jnp.take_along_axis(cls_all, top_i, axis=1).astype(jnp.float32)
+
+    # Stage 2 — decode ONLY the k survivors: global flat index -> level,
+    # grid cell, anchor; branchless select across the 3 levels.
+    s = jax.nn.sigmoid(sel)
+    cx = jnp.zeros_like(top_s)
+    cy = jnp.zeros_like(top_s)
+    ww = jnp.zeros_like(top_s)
+    hh = jnp.zeros_like(top_s)
+    off = 0
+    for li, (na, ny, nx, n) in enumerate(shapes):
+        in_level = (top_i >= off) & (top_i < off + n)
+        local = jnp.clip(top_i - off, 0, n - 1)
         if anchor_major:               # (ia, iy, ix)
-            ia = top_i // (ny * nx)
-            rem = top_i % (ny * nx)
+            ia = local // (ny * nx)
+            rem = local % (ny * nx)
             iy = (rem // nx).astype(jnp.float32)
             ix = (rem % nx).astype(jnp.float32)
         else:                          # (iy, ix, ia)
-            ia = top_i % na
-            cell = top_i // na
+            ia = local % na
+            cell = local // na
             iy = (cell // nx).astype(jnp.float32)
             ix = (cell % nx).astype(jnp.float32)
-        s = jax.nn.sigmoid(sel)
         stride = float(strides[li])
-        cx = (s[..., 0] * 2.0 - 0.5 + ix) * stride
-        cy = (s[..., 1] * 2.0 - 0.5 + iy) * stride
-        anc = anchors_px[li][ia]                                 # (B, k, 2)
-        w = (s[..., 2] * 2.0) ** 2 * anc[..., 0]
-        h = (s[..., 3] * 2.0) ** 2 * anc[..., 1]
-        cand_boxes.append(jnp.stack(
-            [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1))
-        cand_scores.append(top_s.astype(jnp.float32))
-        cand_cls.append(sel_cls)
-
-    boxes = jnp.concatenate(cand_boxes, axis=1)
-    scores = jnp.concatenate(cand_scores, axis=1)
-    cls = jnp.concatenate(cand_cls, axis=1).astype(jnp.float32)
-
-    # global candidate cut + score-desc order for the greedy NMS
-    k = min(max_cand, scores.shape[1])
-    top_s, top_i = jax.vmap(lambda s: jax.lax.top_k(s, k))(scores)
-    boxes = jnp.take_along_axis(boxes, top_i[..., None], axis=1)
-    cls = jnp.take_along_axis(cls, top_i, axis=1)
+        anc = anchors_px[li][ia]                             # (B, k, 2)
+        cx = jnp.where(in_level, (s[..., 0] * 2.0 - 0.5 + ix) * stride, cx)
+        cy = jnp.where(in_level, (s[..., 1] * 2.0 - 0.5 + iy) * stride, cy)
+        ww = jnp.where(in_level, (s[..., 2] * 2.0) ** 2 * anc[..., 0], ww)
+        hh = jnp.where(in_level, (s[..., 3] * 2.0) ** 2 * anc[..., 1], hh)
+        off += n
+    boxes = jnp.stack(
+        [cx - ww / 2, cy - hh / 2, cx + ww / 2, cy + hh / 2], axis=-1)
+    top_s = top_s.astype(jnp.float32)
 
     offset = 0.0 if agnostic else cls[..., None] * MAX_WH
     valid_cand = top_s > NEG_INF / 2
