@@ -128,3 +128,31 @@ def test_s2d_stem_exact_equivalence():
     y2 = s2d.apply(v, x, training=False)
     assert y1.shape == y2.shape == (2, 32, 32, 16)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-5)
+
+
+def test_uint8_input_normalizes_in_stem():
+    """Integer input to the model = unnormalized image: the stem's internal
+    x1/255 (after the s2d transpose) must be bit-identical to caller-side
+    normalize, for both stem kinds and for the full model."""
+    from vision_kit_tpu.models import YOLOV5
+    from vision_kit_tpu.models.layers import ConvBnAct
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+    x_u8 = jnp.asarray(img)
+    # multiply-by-reciprocal, matching the stem (x/255.0 differs by an ULP)
+    x_f = x_u8.astype(jnp.float32) * (1.0 / 255.0)
+
+    for kwargs in (dict(kernel=6, stride=2, padding=2, s2d=True),
+                   dict(kernel=3, stride=2, padding=1)):
+        m = ConvBnAct(16, **kwargs)
+        v = m.init(jax.random.PRNGKey(0), x_f, training=False)
+        y_f = m.apply(v, x_f, training=False)
+        y_u = m.apply(v, x_u8, training=False)
+        np.testing.assert_array_equal(np.asarray(y_f), np.asarray(y_u))
+
+    model = YOLOV5(variant="n", num_classes=4)
+    v = model.init(jax.random.PRNGKey(0), x_f, training=False)
+    dec_f, _ = model.apply(v, x_f, training=False)
+    dec_u, _ = model.apply(v, x_u8, training=False)
+    np.testing.assert_array_equal(np.asarray(dec_f), np.asarray(dec_u))

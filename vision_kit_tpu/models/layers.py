@@ -117,6 +117,12 @@ class ConvBnAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
+        # Integer input = unnormalized 0-255 image: the x1/255 normalize runs
+        # HERE, after the (possible) space-to-depth transpose, so the layout
+        # move streams half the bytes (u8 instead of bf16) and the convert +
+        # scale fuse into one pass. Multiplication commutes with the
+        # transpose, so this is bit-identical to caller-side normalize.
+        unnorm = jnp.issubdtype(x.dtype, jnp.integer)
         p = auto_pad(self.kernel, self.padding)
         use_s2d = (
             self.s2d and self.kernel == 6 and self.stride == 2 and p == 2
@@ -128,16 +134,21 @@ class ConvBnAct(nn.Module):
             b, h, wd, _ = x.shape
             xs = x.reshape(b, h // 2, 2, wd // 2, 2, c)
             xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, wd // 2, 4 * c)
+            xs = xs.astype(self.dtype)
+            if unnorm:
+                xs = xs * jnp.asarray(1.0 / 255.0, self.dtype)
             ws = w.reshape(3, 2, 3, 2, c, self.outs)
             ws = ws.transpose(0, 2, 1, 3, 4, 5).reshape(3, 3, 4 * c, self.outs)
             x = jax.lax.conv_general_dilated(
-                xs.astype(self.dtype),
+                xs,
                 ws.astype(self.dtype),
                 window_strides=(1, 1),
                 padding=[(1, 1), (1, 1)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
         else:
+            if unnorm:
+                x = x.astype(self.dtype) * jnp.asarray(1.0 / 255.0, self.dtype)
             x = nn.Conv(
                 self.outs,
                 (self.kernel, self.kernel),

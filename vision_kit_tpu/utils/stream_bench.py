@@ -64,8 +64,10 @@ def run_detector_bench(model, metric: str, batch: int, chunk: int,
     anchors_px = model.anchors_px
 
     def step(x_u8):
-        x = x_u8.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 255.0)
-        _, raws = model.apply(variables, x, training=False)
+        # uint8 goes straight into the model: the stem normalizes after its
+        # space-to-depth transpose (models/layers.py ConvBnAct), which
+        # halves the bytes the layout move streams — bit-identical results.
+        _, raws = model.apply(variables, x_u8, training=False)
         dets, valid = postprocess_raw(
             raws, anchors_px, conf_thres=0.25, iou_thres=0.45,
             max_det=300, max_cand=512, approx_topk=True,
