@@ -94,6 +94,28 @@ def test_loss_parity_with_reference(reference, rng):
     )
 
 
+def test_loss_native_layout_parity(rng):
+    """The native-layout (B, ny, nx, na, no) path must match the
+    anchor-major path on the same values (pure re-indexing)."""
+    b = 2
+    anchors = normalized_anchors(V5_ANCHORS, STRIDES)
+    preds_am = make_preds(rng, b)
+    rows = make_targets(rng, b, 6)
+    padded = jnp.asarray(to_padded(rows, b, 16))
+
+    loss_auto = YoloLoss(NC, anchors, HYP)
+    t_am, p_am = loss_auto([jnp.asarray(p) for p in preds_am], padded)
+    preds_nat = [jnp.asarray(p.transpose(0, 2, 3, 1, 4)) for p in preds_am]
+    t_nat, p_nat = loss_auto(preds_nat, padded)
+    np.testing.assert_allclose(float(t_nat), float(t_am), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p_nat), np.asarray(p_am), rtol=1e-5
+    )
+    # explicit layout= agrees with auto-detection
+    t_e, _ = YoloLoss(NC, anchors, HYP, layout="native")(preds_nat, padded)
+    np.testing.assert_allclose(float(t_e), float(t_nat), rtol=0, atol=0)
+
+
 def test_loss_empty_targets(rng):
     b = 2
     anchors = normalized_anchors(V5_ANCHORS, STRIDES)

@@ -86,7 +86,9 @@ def test_yolov5_train_mode_raw_parity(reference):
     from vision_kit.models.architectures.yolov5 import YOLOV5 as RefV5
 
     torch_model = _make_ref_v5("n", num_classes=7)
-    jax_model = YOLOV5(variant="n", num_classes=7)
+    # decode_order="reference" = anchor-major training maps (the native
+    # default keeps the conv layout, which torch's maps don't match)
+    jax_model = YOLOV5(variant="n", num_classes=7, decode_order="reference")
 
     rng = np.random.default_rng(1)
     x = rng.uniform(0, 1, size=(2, IMG, IMG, 3)).astype(np.float32)

@@ -1,5 +1,5 @@
-"""Capture a jax.profiler trace of the fused inference step and print the
-top XLA ops by device self-time.
+"""Capture a jax.profiler trace of the fused inference step (or, with
+--train, the full train step) and print the top XLA ops by device self-time.
 
 Reads the xplane proto with TF's xplane_pb2 (TF is already a dependency via
 the jax2tf export path). Only the "XLA Ops" line of the TPU device plane is
@@ -64,6 +64,65 @@ def capture(trace_dir: str, batch: int, chunk: int):
         _ = int(stream(imgs, jnp.zeros((), jnp.int32)))
 
 
+def capture_train(trace_dir: str, batch: int, chunk: int):
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from vision_kit_tpu.models import YOLOV5
+    from vision_kit_tpu.train.losses import YoloLoss
+    from vision_kit_tpu.train.optim import make_optimizer
+    from vision_kit_tpu.train.step import create_train_state, make_train_step
+
+    hyp = {
+        "lr0": 0.01, "lrf": 0.01, "momentum": 0.937, "weight_decay": 0.0005,
+        "warmup_epochs": 3.0, "warmup_bias_lr": 0.1, "warmup_momentum": 0.8,
+        "box": 0.05, "cls": 0.5, "obj": 1.0, "cls_pw": 1.0, "obj_pw": 1.0,
+        "anchor_t": 4.0, "label_smoothing": 0.0,
+    }
+    size = 640
+    model = YOLOV5(variant="s", num_classes=80, dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), training=False
+    )
+    loss_fn = YoloLoss(80, model.grid_anchors, hyp)
+    tx = make_optimizer(variables["params"], hyp, 300, 1000)
+    state = create_train_state(model, variables, tx)
+    step_fn = make_train_step(model, loss_fn, tx, donate=False)
+
+    rng = np.random.default_rng(0)
+    targets = jnp.asarray(np.where(
+        np.arange(64)[None, :, None] < 8,
+        np.concatenate([
+            rng.integers(0, 80, (batch, 64, 1)).astype(np.float32),
+            rng.uniform(0.2, 0.8, (batch, 64, 4)).astype(np.float32),
+        ], -1),
+        -1.0,
+    ).astype(np.float32))
+    images = jnp.asarray(
+        rng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8))
+
+    @jax.jit
+    def stream(state, imgs, targets):
+        def body(st, k):
+            st2, metrics = step_fn(
+                st, {"image": imgs + k.astype(jnp.uint8), "targets": targets}
+            )
+            return st2, metrics["loss"]
+
+        st, losses = jax.lax.scan(
+            body, state, jnp.arange(chunk, dtype=jnp.int32)
+        )
+        return st, losses
+
+    st, losses = stream(state, images, targets)
+    _ = float(losses[-1])  # compile + warm
+    with jax.profiler.trace(trace_dir):
+        st, losses = stream(state, images, targets)
+        _ = float(losses[-1])
+
+
 def summarize(trace_dir: str, top: int = 30):
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
@@ -107,7 +166,12 @@ if __name__ == "__main__":
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--dir", default="/tmp/vk_profile")
     ap.add_argument("--summarize-only", action="store_true")
+    ap.add_argument("--train", action="store_true",
+                    help="profile the full train step instead of inference")
     args = ap.parse_args()
     if not args.summarize_only:
-        capture(args.dir, args.batch, args.chunk)
+        if args.train:
+            capture_train(args.dir, args.batch, args.chunk)
+        else:
+            capture(args.dir, args.batch, args.chunk)
     summarize(args.dir, args.top)

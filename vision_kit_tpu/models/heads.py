@@ -5,9 +5,12 @@ grids are compile-time constants (built from static feature shapes with
 broadcasted_iota), so the sigmoid-decode fuses into the head conv epilogue
 under jit — no lazily cached grid tensors like the reference (:63-64).
 
-Training output: per-level raw maps shaped (B, na, H, W, 5+nc) — matching
-the reference memory order so converted-weight parity tests can compare
-level-by-level. Eval output: (decoded (B, sum(na*H*W), 5+nc), raw maps).
+Training output: per-level raw maps in the NATIVE conv layout
+(B, H, W, na, 5+nc) — no transpose; the loss consumes either layout
+(train/losses.py). With decode_order="reference" the maps are transposed to
+the reference's anchor-major (B, na, H, W, 5+nc) order so converted-weight
+parity tests can compare level-by-level. Eval output:
+(decoded (B, sum(na*H*W), 5+nc), raw maps).
 """
 
 from __future__ import annotations
@@ -153,7 +156,11 @@ class YoloV5Head(nn.Module):
             # so the fused serving postprocess consumes the conv output
             # in-place (the 5-d transpose costs a full layout copy per map).
             raw_native = y.reshape(b, ny, nx, na, no)
-            if training or reference_order:
+            # training maps keep the NATIVE conv layout unless the model is
+            # in reference-parity mode: the loss consumes either layout
+            # (train/losses.py), and skipping the anchor-major transpose
+            # saves a full-map copy per level in forward and backward
+            if reference_order:
                 raw = raw_native.transpose(0, 3, 1, 2, 4)
             else:
                 raw = raw_native
@@ -223,9 +230,10 @@ class YoloV7Head(nn.Module):
                 y = Implicit(no * na, ops="multiply", name=f"im_{i}")(y)
             b, ny, nx, _ = y.shape
             raw_native = y.reshape(b, ny, nx, na, no)
-            if training or self.decode_order == "reference":
+            # native layout kept in training too (see YoloV5Head note)
+            if self.decode_order == "reference":
                 raw = raw_native.transpose(0, 3, 1, 2, 4)
-            else:  # native eval layout: no transpose (fused serving path)
+            else:  # native layout: no transpose (fused serving/train paths)
                 raw = raw_native
             raws.append(raw)
             if not training:

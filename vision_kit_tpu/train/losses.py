@@ -71,11 +71,20 @@ class YoloLoss:
         update_loss_cfg scaling).
     """
 
-    def __init__(self, num_classes: int, anchors: np.ndarray, hyp: dict):
+    def __init__(self, num_classes: int, anchors: np.ndarray, hyp: dict,
+                 layout: str = "auto"):
         self.num_classes = num_classes
         self.anchors = np.asarray(anchors, np.float32)  # (nl, na, 2)
         self.nl = self.anchors.shape[0]
         self.na = self.anchors.shape[1]
+        # layout of the incoming raw maps: "anchor_major" (B, na, ny, nx, no)
+        # is the reference/torch order; "native" (B, ny, nx, na, no) is the
+        # head's untransposed conv output (decode_order="native" training
+        # maps) — consuming it directly saves a full-map layout copy per
+        # level in forward AND backward. "auto" detects per level from the
+        # shape (grids never have na rows in practice).
+        assert layout in ("auto", "anchor_major", "native")
+        self.layout = layout
         self.hyp = dict(hyp)
         self.balance = (
             [4.0, 1.0, 0.4] if self.nl == 3 else [4.0, 1.0, 0.25, 0.06, 0.02]
@@ -95,8 +104,9 @@ class YoloLoss:
         """Compute the loss.
 
         Args:
-          preds: per-level raw maps (B, na, ny, nx, 5+nc) from the head in
-            training mode.
+          preds: per-level raw training maps — anchor-major
+            (B, na, ny, nx, 5+nc) or native (B, ny, nx, na, 5+nc), per the
+            constructor's `layout` (default auto-detected per level).
           targets: (B, M, 5) padded rows [cls, cx, cy, w, h] normalized;
             cls < 0 marks padding.
 
@@ -177,8 +187,25 @@ class YoloLoss:
             "cls": cls,                # (B, M)
         }
 
+    def _resolve_layout(self, pred):
+        if self.layout != "auto":
+            return self.layout
+        na = self.na
+        if pred.shape[3] == na and pred.shape[1] != na:
+            return "native"
+        if pred.shape[1] == na and pred.shape[3] != na:
+            return "anchor_major"
+        raise ValueError(
+            f"ambiguous raw-map shape {pred.shape} (grid size == na); "
+            "construct YoloLoss with an explicit layout="
+        )
+
     def _level_loss(self, pred, targets, anchors, level):
-        b, na, ny, nx, no = pred.shape
+        layout = self._resolve_layout(pred)
+        if layout == "native":
+            b, ny, nx, na, no = pred.shape
+        else:
+            b, na, ny, nx, no = pred.shape
         nc = self.num_classes
         cand = self._candidates(targets, anchors, ny, nx)
         valid = cand["valid"]                                    # (B,M,na,5)
@@ -186,13 +213,27 @@ class YoloLoss:
 
         batch_idx = jnp.arange(b, dtype=jnp.int32).reshape(b, 1, 1, 1)
         anchor_idx = jnp.arange(na, dtype=jnp.int32).reshape(1, 1, na, 1)
-        lin = (
-            ((batch_idx * na + anchor_idx) * ny + cand["gj"]) * nx + cand["gi"]
-        )                                                        # (B,M,na,5)
+        if layout == "native":
+            lin = (
+                ((batch_idx * ny + cand["gj"]) * nx + cand["gi"]) * na
+                + anchor_idx
+            )                                                    # (B,M,na,5)
+        else:
+            lin = (
+                ((batch_idx * na + anchor_idx) * ny + cand["gj"]) * nx
+                + cand["gi"]
+            )                                                    # (B,M,na,5)
         lin_flat = lin.reshape(-1)
         valid_flat = valid.reshape(-1)
 
-        pred_flat = pred.reshape(b * na * ny * nx, no)
+        n_cells = b * na * ny * nx
+        # One (C, no) row gather. (A per-field gather split — xywh/obj/cls
+        # gathered from separate slices to shrink the backward scatter — was
+        # tried and measured 1.75x SLOWER end-to-end: narrow (N, 4) slices
+        # tile 4/128 lanes on TPU, so the sliced buffers and their scatter
+        # targets blow up 32x in physical size.)
+        pred_flat = pred.reshape(n_cells, no)
+        obj_logits = pred_flat[:, 4]
         psub = jnp.take(pred_flat, lin_flat, axis=0)             # (C, no)
 
         # box regression (reference yolo.py:51-56)
@@ -214,9 +255,8 @@ class YoloLoss:
         if self.gr < 1.0:
             iou_det = (1.0 - self.gr) + self.gr * iou_det
         tobj_updates = jnp.where(valid_flat, iou_det, 0.0).astype(pred.dtype)
-        tobj = jnp.zeros((b * na * ny * nx,), pred.dtype)
+        tobj = jnp.zeros((n_cells,), pred.dtype)
         tobj = tobj.at[lin_flat].max(tobj_updates, mode="drop")
-        obj_logits = pred_flat[:, 4]
         loss_obj = self._bce(
             obj_logits, tobj, self.hyp.get("obj_pw", 1.0)
         ).mean()

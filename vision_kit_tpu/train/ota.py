@@ -37,12 +37,21 @@ class YoloLossOTA(YoloLoss):
 
     def __init__(self, num_classes: int, anchors: np.ndarray, hyp: dict,
                  strides: Sequence[float] = (8.0, 16.0, 32.0),
-                 top_k: int = 10):
-        super().__init__(num_classes, anchors, hyp)
+                 top_k: int = 10, layout: str = "auto"):
+        super().__init__(num_classes, anchors, hyp, layout=layout)
         self.strides = tuple(strides)
         self.top_k = top_k
 
     def __call__(self, preds, targets):
+        # OTA's internals are written for the reference's anchor-major maps;
+        # accept the head's native (B, ny, nx, na, no) layout by transposing
+        # at entry (same cost the head used to pay — OTA's own dynamic-k
+        # machinery dominates its runtime anyway).
+        preds = [
+            p.transpose(0, 3, 1, 2, 4)
+            if self._resolve_layout(p) == "native" else p
+            for p in preds
+        ]
         bs = preds[0].shape[0]
         nc = self.num_classes
 

@@ -73,9 +73,10 @@ def make_train_step(model, loss_fn: YoloLoss, tx, mesh=None, donate=True,
 
     def train_step(state: TrainState, batch):
         imgs, targets = batch["image"], batch["targets"]
-        if imgs.dtype == jnp.uint8:
-            # loaders ship uint8 (4x less H2D); normalize inside the program
-            imgs = imgs.astype(jnp.float32) / 255.0
+        # uint8 batches (4x less H2D) go straight into the model: the stem
+        # normalizes after its space-to-depth transpose so the layout move
+        # streams u8 bytes and no full-image f32 intermediate materializes
+        # (models/layers.py ConvBnAct)
         if spatial:
             imgs = jax.lax.with_sharding_constraint(
                 imgs, spatial_sharding(mesh)
@@ -175,8 +176,7 @@ def make_eval_step(model, mesh=None, use_ema: bool = True,
         kwargs.update(postprocess_kwargs)
 
     def eval_step(state: TrainState, imgs):
-        if imgs.dtype == jnp.uint8:
-            imgs = imgs.astype(jnp.float32) / 255.0
+        # uint8 input normalizes inside the stem (see train_step note)
         if spatial:
             imgs = jax.lax.with_sharding_constraint(
                 imgs, spatial_sharding(mesh)

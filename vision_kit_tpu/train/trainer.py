@@ -102,17 +102,24 @@ class Trainer:
             cfg.model.name == "YOLOv7"
             and int(dict(cfg.hypermeters).get("loss_ota", 0))
         )
+        # explicit layout (the head's training maps follow decode_order);
+        # auto-detection is ambiguous when a grid is exactly na cells wide
+        layout = (
+            "anchor_major"
+            if getattr(self.model, "decode_order", "native") == "reference"
+            else "native"
+        )
         if use_ota:
             from vision_kit_tpu.train.ota import YoloLossOTA
 
             self.loss = YoloLossOTA(
                 int(cfg.model.num_classes), self.model.grid_anchors,
-                dict(cfg.hypermeters),
+                dict(cfg.hypermeters), layout=layout,
             )
         else:
             self.loss = YoloLoss(
                 int(cfg.model.num_classes), self.model.grid_anchors,
-                dict(cfg.hypermeters),
+                dict(cfg.hypermeters), layout=layout,
             )
         self.state = jax.device_put(
             create_train_state(self.model, variables, self.tx),
