@@ -55,6 +55,50 @@ def test_batched_nms_matches_numpy_greedy(rng):
     np.testing.assert_allclose(got_off, ref_sorted, rtol=1e-4, atol=1e-2)
 
 
+def test_merge_nms_matches_numpy_oracle(rng):
+    """merge=True must reproduce the reference's weighted-mean merge
+    (image_proc.py:172-180): kept boxes become the score-weighted mean of
+    all over-threshold overlaps; kept boxes with no other overlap drop
+    (redundant)."""
+    boxes, scores, cls = make_cands(rng, 120)
+    iou_t = 0.5
+    off = boxes + cls[:, None].astype(np.float32) * MAX_WH
+
+    # numpy oracle in score-desc candidate order (the device path sorts)
+    order = np.argsort(-scores)
+    b_s, s_s, c_s = off[order], scores[order], cls[order]
+    raw_s = boxes[order]
+    keep = np_greedy_nms(b_s, s_s, iou_t)
+    # pairwise IoU of offset boxes
+    n = len(b_s)
+    ious = np.zeros((n, n), np.float32)
+    for i in range(n):
+        x1 = np.maximum(b_s[i, 0], b_s[:, 0])
+        y1 = np.maximum(b_s[i, 1], b_s[:, 1])
+        x2 = np.minimum(b_s[i, 2], b_s[:, 2])
+        y2 = np.minimum(b_s[i, 3], b_s[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        ai = (b_s[i, 2] - b_s[i, 0]) * (b_s[i, 3] - b_s[i, 1])
+        a = (b_s[:, 2] - b_s[:, 0]) * (b_s[:, 3] - b_s[:, 1])
+        ious[i] = inter / np.maximum(ai + a - inter, 1e-6)
+    exp = {}
+    for i in keep:
+        overlap = ious[i] > iou_t
+        w = overlap * s_s
+        merged = (w @ raw_s) / w.sum()
+        if overlap.sum() > 1:  # redundant filter
+            exp[tuple(np.round(merged, 3))] = s_s[i]
+
+    dets, valid = batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(cls),
+        iou_thres=iou_t, max_det=120, merge=True,
+    )
+    got = np.asarray(dets)[np.asarray(valid)]
+    assert len(got) == len(exp)
+    got_keys = {tuple(np.round(g[:4], 3)) for g in got}
+    assert got_keys == set(exp.keys())
+
+
 def test_batched_nms_agnostic(rng):
     boxes, scores, cls = make_cands(rng, 150)
     dets, valid = batched_nms(

@@ -87,16 +87,24 @@ def _greedy_keep_blocked(boxes: jnp.ndarray, valid: jnp.ndarray,
     return keep[:orig_k]
 
 
-def _nms_single(
-    boxes: jnp.ndarray,      # (K, 4) xyxy, score-desc sorted, class-offset applied
-    scores: jnp.ndarray,     # (K,) with invalid candidates at NEG_INF
-    raw: jnp.ndarray,        # (K, 6) output rows [xyxy, conf, cls]
-    iou_thres: float,
-    max_det: int,
-):
-    keep = _greedy_keep_blocked(boxes, scores > NEG_INF / 2, iou_thres)
-    valid = keep & (scores > NEG_INF / 2)
-    return _select_top(raw, scores, valid, max_det)
+def _merge_boxes(nms_boxes, raw_rows, scores, valid, keep, iou_thres,
+                 redundant: bool = True):
+    """Merge-NMS (reference image_proc.py:172-180): kept boxes become the
+    score-weighted mean of ALL candidate boxes overlapping them above
+    iou_thres (in class-offset space). `redundant` drops kept boxes whose
+    only overlap is themselves. Fixed-shape: one (K, K) IoU + matmul.
+
+    Returns (raw_rows with merged xyxy, keep')."""
+    iou_m = (box_iou_pairwise(nms_boxes, nms_boxes) > iou_thres) & \
+        valid[None, :]
+    weights = iou_m.astype(jnp.float32) * jnp.maximum(scores, 0.0)[None, :]
+    denom = jnp.maximum(weights.sum(axis=1, keepdims=True), 1e-12)
+    merged = (weights @ raw_rows[:, :4]) / denom
+    boxes = jnp.where(keep[:, None], merged, raw_rows[:, :4])
+    raw_rows = jnp.concatenate([boxes, raw_rows[:, 4:]], axis=-1)
+    if redundant:
+        keep = keep & (iou_m.sum(axis=1) > 1)
+    return raw_rows, keep
 
 
 def _select_top(raw, scores, valid, max_det):
@@ -111,7 +119,7 @@ def _select_top(raw, scores, valid, max_det):
     jax.jit,
     static_argnames=(
         "conf_thres", "iou_thres", "multi_label", "agnostic", "max_det",
-        "max_cand", "approx_topk", "multi_label_top",
+        "max_cand", "approx_topk", "multi_label_top", "merge",
     ),
 )
 def postprocess(
@@ -125,6 +133,7 @@ def postprocess(
     classes: jnp.ndarray | None = None,
     approx_topk: bool = False,
     multi_label_top: int = 0,
+    merge: bool = False,
 ):
     """Decoded predictions -> padded detections.
 
@@ -132,6 +141,8 @@ def postprocess(
       preds: (B, N, 5+nc) decoded head output [cx, cy, w, h, obj, cls...]
         in letterboxed-image pixels (the head's eval decode).
       classes: optional (nc,) bool mask of allowed class ids.
+      merge: merge-NMS — kept boxes become the score-weighted mean of their
+        over-threshold overlaps (reference image_proc.py:172-180).
 
     Returns:
       (dets, valid): dets (B, max_det, 6) rows [x1, y1, x2, y2, conf, cls],
@@ -221,6 +232,12 @@ def postprocess(
         lambda bx, v: _greedy_keep_blocked(bx, v, iou_thres)
     )(nms_boxes, valid_cand)
     keep = keep & valid_cand
+    if merge:
+        raw, keep = jax.vmap(
+            lambda bx, rr, sc, v, kp: _merge_boxes(
+                bx, rr, sc, v, kp, iou_thres
+            )
+        )(nms_boxes, raw, scores, valid_cand, keep)
     return jax.vmap(partial(_select_top, max_det=max_det))(raw, scores, keep)
 
 
@@ -231,11 +248,14 @@ def batched_nms(
     iou_thres: float = 0.45,
     max_det: int = 300,
     agnostic: bool = False,
+    merge: bool = False,
 ):
     """Standalone NMS over already-selected candidates.
 
     Args:
       boxes: (K, 4) xyxy. scores: (K,). class_ids: (K,) int.
+      merge: merge-NMS — kept boxes become the score-weighted mean of their
+        over-threshold overlaps (reference image_proc.py:172-180).
     Returns (dets (max_det, 6), valid (max_det,)).
     """
     max_det = min(max_det, boxes.shape[0])
@@ -245,7 +265,14 @@ def batched_nms(
     cls = jnp.take(class_ids, order).astype(jnp.float32)
     offset = 0.0 if agnostic else cls[:, None] * MAX_WH
     raw = jnp.concatenate([boxes, scores[:, None], cls[:, None]], axis=-1)
-    return _nms_single(boxes + offset, scores, raw, iou_thres, max_det)
+    nms_boxes = boxes + offset
+    valid = scores > NEG_INF / 2
+    keep = _greedy_keep_blocked(nms_boxes, valid, iou_thres)
+    keep = keep & valid
+    if merge:
+        raw, keep = _merge_boxes(nms_boxes, raw, scores, valid, keep,
+                                 iou_thres)
+    return _select_top(raw, scores, keep, max_det)
 
 
 @partial(
