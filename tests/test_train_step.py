@@ -94,6 +94,42 @@ def test_dp_matches_single_device():
                                atol=1e-6)
 
 
+def test_grad_accumulation_matches_single_step():
+    """accum_steps=2 over two IDENTICAL microbatches must produce the same
+    parameter update as one step on a single microbatch: the accumulated
+    gradient is the MEAN over micros, and the mean of equal grads is exact
+    in floating point. (BN running stats legitimately differ — they update
+    once per microbatch.)"""
+    model, loss, tx, state, batch = _setup(batch=2)
+    dup = {
+        "image": np.concatenate([batch["image"], batch["image"]]),
+        "targets": np.concatenate([batch["targets"], batch["targets"]]),
+    }
+    step1 = make_train_step(model, loss, tx, donate=False)
+    step2 = make_train_step(model, loss, tx, donate=False, accum_steps=2)
+    s1, m1 = step1(state, batch)
+    s2, m2 = step2(state, dup)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_grad_accumulation_remat_compose():
+    """accum + remat must run and descend."""
+    model, loss, tx, state, batch = _setup(batch=4)
+    step = make_train_step(model, loss, tx, donate=False, accum_steps=2,
+                           remat=True)
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
 def test_graft_entry_dryrun():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__

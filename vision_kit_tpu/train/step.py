@@ -53,7 +53,7 @@ def create_train_state(model, variables, tx) -> TrainState:
 
 
 def make_train_step(model, loss_fn: YoloLoss, tx, mesh=None, donate=True,
-                    spatial=False, remat=False):
+                    spatial=False, remat=False, accum_steps: int = 1):
     """Build the jitted train step.
 
     batch: {"image": (B, H, W, 3) float in [0,1], "targets": (B, M, 5)}.
@@ -69,7 +69,17 @@ def make_train_step(model, loss_fn: YoloLoss, tx, mesh=None, donate=True,
     the 3x3-conv halo equals the whole shard and XLA SPMD's halo-exchange
     gradient is wrong (verified: exact parity at >= 2 rows/shard, divergent
     at 1 row/shard).
+
+    accum_steps > 1 enables gradient accumulation (the reference has none —
+    PL default 1, SURVEY §2.7): the batch splits into accum_steps
+    microbatches run sequentially under lax.scan, activation memory is that
+    of ONE microbatch, and the applied gradient is the MEAN over
+    microbatches — the same semantics as data-parallel pmean over chips, so
+    an accumulated batch matches a larger DP world. BN running stats update
+    sequentially per microbatch (same as seeing the micros as consecutive
+    steps). Composes with remat and spatial. B must divide by accum_steps.
     """
+    assert accum_steps >= 1
 
     def train_step(state: TrainState, batch):
         imgs, targets = batch["image"], batch["targets"]
@@ -77,14 +87,10 @@ def make_train_step(model, loss_fn: YoloLoss, tx, mesh=None, donate=True,
         # normalizes after its space-to-depth transpose so the layout move
         # streams u8 bytes and no full-image f32 intermediate materializes
         # (models/layers.py ConvBnAct)
-        if spatial:
-            imgs = jax.lax.with_sharding_constraint(
-                imgs, spatial_sharding(mesh)
-            )
 
-        def forward(params, x):
+        def forward(params, stats, x):
             return model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": stats},
                 x,
                 training=True,
                 mutable=["batch_stats"],
@@ -96,8 +102,12 @@ def make_train_step(model, loss_fn: YoloLoss, tx, mesh=None, donate=True,
             # activation memory; enables larger per-chip batches
             forward = jax.checkpoint(forward)
 
-        def compute_loss(params):
-            preds, mutated = forward(params, imgs)
+        def compute_loss(params, stats, x, tgt):
+            if spatial:
+                x = jax.lax.with_sharding_constraint(
+                    x, spatial_sharding(mesh)
+                )
+            preds, mutated = forward(params, stats, x)
             if spatial:
                 # re-gather the (small) head maps to batch-only sharding:
                 # the conv stack ran height-split, but the assigner's
@@ -110,12 +120,56 @@ def make_train_step(model, loss_fn: YoloLoss, tx, mesh=None, donate=True,
                     ),
                     preds,
                 )
-            total, parts = loss_fn(preds, targets)
+            total, parts = loss_fn(preds, tgt)
             return total, (parts, mutated["batch_stats"])
 
-        (total, (parts, new_stats)), grads = jax.value_and_grad(
-            compute_loss, has_aux=True
-        )(state.params)
+        grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
+
+        if accum_steps == 1:
+            (total, (parts, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, imgs, targets
+            )
+        else:
+            b = imgs.shape[0]
+            assert b % accum_steps == 0, (
+                f"batch {b} not divisible by accum_steps {accum_steps}"
+            )
+            micro = b // accum_steps
+            imgs_m = imgs.reshape(accum_steps, micro, *imgs.shape[1:])
+            tgt_m = targets.reshape(accum_steps, micro, *targets.shape[1:])
+
+            def micro_step(carry, mb):
+                stats, g_acc, t_acc, p_acc = carry
+                x, tgt = mb
+                if mesh is not None:
+                    x = jax.lax.with_sharding_constraint(
+                        x,
+                        spatial_sharding(mesh) if spatial
+                        else batch_sharding(mesh),
+                    )
+                (total, (parts, stats2)), g = grad_fn(
+                    state.params, stats, x, tgt
+                )
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (
+                    stats2, g_acc,
+                    t_acc + total.astype(jnp.float32),
+                    p_acc + parts.astype(jnp.float32),
+                ), None
+
+            zeros_g = jax.tree_util.tree_map(
+                jnp.zeros_like, state.params
+            )
+            (new_stats, grads, total, parts), _ = jax.lax.scan(
+                micro_step,
+                (state.batch_stats, zeros_g, jnp.zeros(()),
+                 jnp.zeros((3,))),
+                (imgs_m, tgt_m),
+            )
+            inv = 1.0 / accum_steps
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            total = total * inv
+            parts = parts * inv
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -126,7 +126,12 @@ class Trainer:
             replicated_sharding(self.mesh),
         )
         self.train_step = make_train_step(
-            self.model, self.loss, self.tx, mesh=self.mesh
+            self.model, self.loss, self.tx, mesh=self.mesh,
+            # optional extras over the reference schema: grad accumulation
+            # (effective batch = batch_size x accum_steps at one microbatch's
+            # activation memory) and rematerialization
+            accum_steps=int(getattr(cfg.data, "accum_steps", 1) or 1),
+            remat=bool(getattr(cfg.data, "remat", False)),
         )
         self.eval_step = make_eval_step(
             self.model, mesh=self.mesh,
