@@ -226,6 +226,31 @@ def test_trainer_crash_saves_checkpoint(tmp_path, monkeypatch):
     trainer2.train_loader.close()
 
 
+def test_predict_spatial_multichip(tiny_model):
+    """spatial=True height-shards the conv stack over the model axis (the
+    multi-chip latency path) and must match single-chip results — for a
+    single image AND for a data+spatial sharded batch."""
+    from vision_kit_tpu.parallel.mesh import make_mesh
+
+    model, variables = tiny_model
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (200, 300, 3), dtype=np.uint8)
+    p1 = Predictor(model, variables, img_size=192, conf_thres=0.01,
+                   max_cand=256, max_det=50)
+    psp = Predictor(model, variables, img_size=192, conf_thres=0.01,
+                    max_cand=256, max_det=50,
+                    mesh=make_mesh(n_data=4, n_model=2), spatial=True)
+    d1, _ = p1(img)
+    dsp, _ = psp(img)
+    np.testing.assert_allclose(dsp, d1, rtol=1e-5, atol=1e-4)
+
+    imgs = rng.integers(0, 255, (4, 200, 300, 3), dtype=np.uint8)
+    b1, _ = p1.predict_batch(imgs)
+    bsp, _ = psp.predict_batch(imgs)
+    for a, b in zip(b1, bsp):
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-4)
+
+
 def test_predict_batch_multichip(tiny_model):
     """Predictor with a mesh shards predict_batch over the data axis and
     matches the single-chip results."""

@@ -39,14 +39,26 @@ class Predictor:
         multi_label: bool = False,
         approx_topk: bool = True,
         mesh=None,
+        spatial: bool = False,
     ):
         """mesh: optional jax.sharding.Mesh for multi-chip serving — batches
         passed to predict_batch are sharded over the "data" axis (weights
         replicate automatically); batch size must be a multiple of the data
-        axis. Single-image calls stay single-chip."""
+        axis. Single-image calls stay single-chip unless spatial=True.
+
+        spatial=True additionally shards the letterboxed image HEIGHT over
+        the mesh's "model" axis (spatial partitioning, parallel/mesh.py):
+        the conv stack runs height-split with XLA SPMD halo exchanges — the
+        multi-chip LATENCY path, cutting single-image time with chips
+        instead of batching. Requires the letterboxed H >= 64 * n_model
+        (>= 2 rows per shard on the stride-32 map, train/step.py). With
+        spatial=True, single-image calls also run on the mesh."""
         self.model = model
         self.variables = variables
         self.mesh = mesh
+        self.spatial = spatial
+        if spatial:
+            assert mesh is not None, "spatial=True requires a mesh"
         self.img_size = (
             (img_size, img_size) if isinstance(img_size, int) else tuple(img_size)
         )
@@ -74,6 +86,14 @@ class Predictor:
 
         def run(imgs_u8):
             x = jax.vmap(lambda im: letterbox_device(im, dst)[0])(imgs_u8)
+            if self.spatial:
+                from vision_kit_tpu.parallel.mesh import spatial_sharding
+
+                # height-split conv stack (halo exchanges over ICI); the
+                # head maps re-gather implicitly at the postprocess reshapes
+                x = jax.lax.with_sharding_constraint(
+                    x, spatial_sharding(self.mesh)
+                )
             decoded, raws = self.model.apply(self.variables, x, training=False)
             if anchors_px is not None and not self.multi_label:
                 # fused serving path: candidate selection on raw head maps,
@@ -107,11 +127,22 @@ class Predictor:
             dets = jnp.concatenate([boxes, dets[..., 4:]], axis=-1)
             return dets, valid
 
-        if self.mesh is not None and batch > 1:
-            from vision_kit_tpu.parallel.mesh import batch_sharding
+        if self.mesh is not None and (batch > 1 or self.spatial):
+            from vision_kit_tpu.parallel.mesh import (
+                DATA_AXIS,
+                batch_sharding,
+                replicated_sharding,
+            )
 
-            data = batch_sharding(self.mesh)
-            return jax.jit(run, in_shardings=data, out_shardings=(data, data))
+            # batch dim shards over "data" only when divisible (a spatial
+            # single image rides the "model" axis alone; outputs are tiny,
+            # replicate them in that case)
+            n_data = self.mesh.shape[DATA_AXIS]
+            if batch % n_data == 0:
+                io = batch_sharding(self.mesh)
+            else:
+                io = replicated_sharding(self.mesh)
+            return jax.jit(run, in_shardings=io, out_shardings=(io, io))
         return jax.jit(run)
 
     def warmup(self, src_hw: tuple[int, int], batch: int = 1):
