@@ -118,10 +118,13 @@ class ConvBnAct(nn.Module):
     @nn.compact
     def __call__(self, x, training: bool = False):
         # Integer input = unnormalized 0-255 image: the x1/255 normalize runs
-        # HERE, after the (possible) space-to-depth transpose, so the layout
-        # move streams half the bytes (u8 instead of bf16) and the convert +
-        # scale fuse into one pass. Multiplication commutes with the
-        # transpose, so this is bit-identical to caller-side normalize.
+        # HERE in the compute dtype. Callers can ship uint8 batches (4x less
+        # H2D) with no separate full-image f32 normalize materializing, and
+        # the convert + scale fuse into one pass. Multiplication commutes
+        # with the s2d transpose, so this is bit-identical to caller-side
+        # `x.astype(dtype) * (1/255)`. (XLA canonicalizes the convert ahead
+        # of the transpose, so the layout move itself still streams bf16 —
+        # profiled; the win is the H2D size and the dropped extra pass.)
         unnorm = jnp.issubdtype(x.dtype, jnp.integer)
         p = auto_pad(self.kernel, self.padding)
         use_s2d = (

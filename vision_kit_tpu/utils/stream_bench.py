@@ -64,9 +64,9 @@ def run_detector_bench(model, metric: str, batch: int, chunk: int,
     anchors_px = model.anchors_px
 
     def step(x_u8):
-        # uint8 goes straight into the model: the stem normalizes after its
-        # space-to-depth transpose (models/layers.py ConvBnAct), which
-        # halves the bytes the layout move streams — bit-identical results.
+        # uint8 goes straight into the model; the stem normalizes internally
+        # (models/layers.py ConvBnAct) — bit-identical to caller-side
+        # normalize, one fewer elementwise pass
         _, raws = model.apply(variables, x_u8, training=False)
         dets, valid = postprocess_raw(
             raws, anchors_px, conf_thres=0.25, iou_thres=0.45,
