@@ -99,6 +99,41 @@ def test_merge_nms_matches_numpy_oracle(rng):
     assert got_keys == set(exp.keys())
 
 
+def test_postprocess_merge_smoke(rng):
+    """merge=True through the batched postprocess: valid detections, boxes
+    finite, and a no-overlap candidate set keeps redundant-filtered empties
+    consistent (every kept box overlaps only itself -> all dropped)."""
+    n = 64
+    preds = np.zeros((2, n, 9), np.float32)
+    # widely separated boxes, same class: zero overlaps
+    preds[..., 0] = np.arange(n)[None, :] * 400 + 100
+    preds[..., 1] = 100
+    preds[..., 2:4] = 50
+    preds[..., 4] = 0.9
+    preds[..., 5] = 0.9
+    dets, valid = postprocess(
+        jnp.asarray(preds), conf_thres=0.25, iou_thres=0.45, max_det=32,
+        merge=True,
+    )
+    assert not bool(np.asarray(valid).any())  # redundancy filter drops all
+    # overlapping pair: merge keeps one, box becomes the weighted mean
+    preds2 = np.zeros((1, 8, 9), np.float32)
+    preds2[0, :2, 0] = (100, 104)
+    preds2[0, :2, 1] = 100
+    preds2[0, :2, 2:4] = 50
+    preds2[0, :2, 4] = (0.9, 0.6)
+    preds2[0, :2, 5] = 1.0
+    dets2, valid2 = postprocess(
+        jnp.asarray(preds2), conf_thres=0.25, iou_thres=0.45, max_det=8,
+        merge=True,
+    )
+    got = np.asarray(dets2)[np.asarray(valid2)]
+    assert len(got) == 1
+    s = np.array([0.9, 0.6])
+    cx = (100 * 0.9 + 104 * 0.6) / s.sum()
+    np.testing.assert_allclose(got[0, 0], cx - 25, rtol=1e-4)
+
+
 def test_batched_nms_agnostic(rng):
     boxes, scores, cls = make_cands(rng, 150)
     dets, valid = batched_nms(
