@@ -45,12 +45,12 @@ def main(cfg, opt):
         ckpt_path = os.path.join(opt.ckpt_dir, name)
 
     if opt.task == "train":
-        trainer = Trainer(cfg, evaluator=evaluator)
+        trainer = Trainer(cfg, evaluator=evaluator, seed=opt.seed)
         logger.info("Start Training...")
         trainer.fit(resume=ckpt_path)
         trainer.test()
     elif opt.task == "eval":
-        trainer = Trainer(cfg, evaluator=evaluator)
+        trainer = Trainer(cfg, evaluator=evaluator, seed=opt.seed)
         if ckpt_path and os.path.exists(ckpt_path):
             trainer.load_checkpoint(ckpt_path)
         trainer.test()

@@ -290,3 +290,33 @@ def test_multi_label_top_small_anchor_count():
                        multi_label=True, max_det=300, max_cand=2048,
                        multi_label_top=20)
     assert d.shape[1] <= 300 and v.shape == d.shape[:2]
+
+
+def test_merge_nms_single_candidate_kept():
+    """A single over-threshold candidate must survive merge=True (the
+    reference only runs the merge/redundant block for 1 < n < 3e3,
+    image_proc.py:172 — n == 1 keeps its detection as-is)."""
+    boxes = np.array([[10.0, 10.0, 50.0, 60.0]], np.float32)
+    scores = np.array([0.9], np.float32)
+    cls = np.array([2])
+    dets, valid = batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(cls),
+        iou_thres=0.5, max_det=1, merge=True,
+    )
+    dets, valid = np.asarray(dets), np.asarray(valid)
+    assert valid.sum() == 1
+    np.testing.assert_allclose(dets[0, :4], boxes[0], atol=1e-4)
+    assert dets[0, 5] == 2
+
+
+def test_merge_nms_single_candidate_through_postprocess():
+    """Same n==1 behavior through the batched postprocess path: one anchor
+    above conf keeps its detection under merge=True."""
+    nc = 4
+    preds = np.zeros((1, 32, 5 + nc), np.float32)
+    preds[0, :, :4] = [100, 100, 40, 40]  # cxcywh
+    preds[0, 0, 4] = 0.9                  # one anchor above conf
+    preds[0, 0, 5] = 0.9
+    d, v = postprocess(jnp.asarray(preds), conf_thres=0.25, iou_thres=0.5,
+                       max_det=10, max_cand=32, merge=True)
+    assert np.asarray(v)[0].sum() == 1

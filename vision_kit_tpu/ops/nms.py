@@ -103,7 +103,10 @@ def _merge_boxes(nms_boxes, raw_rows, scores, valid, keep, iou_thres,
     boxes = jnp.where(keep[:, None], merged, raw_rows[:, :4])
     raw_rows = jnp.concatenate([boxes, raw_rows[:, 4:]], axis=-1)
     if redundant:
-        keep = keep & (iou_m.sum(axis=1) > 1)
+        # reference only enters the merge/redundant block for 1 < n < 3e3
+        # (image_proc.py:172): a single over-threshold candidate is kept
+        # as-is, so exempt the n==1 case from the self-overlap filter
+        keep = keep & ((iou_m.sum(axis=1) > 1) | (valid.sum() <= 1))
     return raw_rows, keep
 
 

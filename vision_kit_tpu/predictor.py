@@ -57,11 +57,21 @@ class Predictor:
         self.variables = variables
         self.mesh = mesh
         self.spatial = spatial
-        if spatial:
-            assert mesh is not None, "spatial=True requires a mesh"
         self.img_size = (
             (img_size, img_size) if isinstance(img_size, int) else tuple(img_size)
         )
+        if spatial:
+            if mesh is None:
+                raise ValueError("spatial=True requires a mesh")
+            from vision_kit_tpu.parallel.mesh import MODEL_AXIS
+
+            n_model = mesh.shape[MODEL_AXIS]
+            if self.img_size[0] < 64 * n_model:
+                raise ValueError(
+                    f"spatial=True needs img_size H >= {64 * n_model} for "
+                    f"{n_model} model shards (>= 2 rows/shard on the "
+                    f"stride-32 map); got {self.img_size[0]}"
+                )
         self.conf_thres = conf_thres
         self.iou_thres = iou_thres
         self.max_det = max_det

@@ -143,16 +143,22 @@ class DetEvaluator:
         self.iouv = np.linspace(0.5, 0.95, 10)
         self.reset()
 
-    def reset(self):
+    def reset(self, collect_coco: bool = True):
+        """collect_coco=False skips the COCO-protocol accumulation (float64
+        copies of every batch) — only summarize_coco() needs it, so the
+        per-epoch val loop resets with False and test-time with True."""
         self.stats = []
         self.seen = 0
         self.coco_data = []
         self.metrics = {}
-        from vision_kit_tpu.train.coco_metrics import COCOMetrics
+        if collect_coco:
+            from vision_kit_tpu.train.coco_metrics import COCOMetrics
 
-        self.coco_metrics = COCOMetrics(
-            class_ids=list(range(len(self.class_labels)))
-        )
+            self.coco_metrics = COCOMetrics(
+                class_ids=list(range(len(self.class_labels)))
+            )
+        else:
+            self.coco_metrics = None
 
     def update(self, dets, valid, targets, infos, count=None):
         """Accumulate one batch.
@@ -200,9 +206,11 @@ class DetEvaluator:
             self.stats.append(
                 (correct, pred[:, 4], pred[:, 5], labels[:, 0])
             )
-            self.coco_metrics.update(
-                predn if len(predn) else np.zeros((0, 6), np.float32), labels
-            )
+            if self.coco_metrics is not None:
+                self.coco_metrics.update(
+                    predn if len(predn) else np.zeros((0, 6), np.float32),
+                    labels,
+                )
             if self.gt_json is not None and len(predn):
                 for row in predn:
                     ci = int(row[5])
@@ -257,6 +265,11 @@ class DetEvaluator:
         """Full COCO-protocol metric set (map/map_50/map_75/size bins,
         mar_1/10/100/size bins) — the counterpart of the reference's
         torchmetrics MeanAveragePrecision tables (det_trainer.py:150-177)."""
+        if self.coco_metrics is None:
+            raise RuntimeError(
+                "COCO accumulation was disabled for this pass — call "
+                "reset(collect_coco=True) before update()"
+            )
         return self.coco_metrics.compute()
 
     def coco_evaluate(self):

@@ -45,12 +45,18 @@ def _wandb_netrc_login() -> bool:
 
 class Trainer:
     def __init__(self, cfg, evaluator: DetEvaluator | None = None,
-                 mesh=None, use_tensorboard: bool = True):
+                 mesh=None, use_tensorboard: bool = True,
+                 seed: int | None = None):
         import jax.numpy as jnp
 
         from vision_kit_tpu.models import build_model
 
         self.cfg = cfg
+        # one seed drives model init, the loader's index stream and every
+        # per-sample augmentation rng (counterpart of the reference's
+        # pl.seed_everything, scripts/main.py:113); CLI --seed lands here
+        self.seed = int(seed if seed is not None
+                        else getattr(cfg.data, "seed", 21) or 21)
         # bf16 compute / fp32 params by default — the TPU counterpart of the
         # reference's AMP fp16 training (scripts/main.py:41 precision=16).
         # Set model.precision: fp32 in the config to disable.
@@ -76,7 +82,7 @@ class Trainer:
 
         # model/optimizer/loss
         variables = self.model.init(
-            jax.random.PRNGKey(0),
+            jax.random.PRNGKey(self.seed),
             jnp.zeros((1, *self.img_size, 3)),
             training=False,
         )
@@ -128,8 +134,10 @@ class Trainer:
         self.train_step = make_train_step(
             self.model, self.loss, self.tx, mesh=self.mesh,
             # optional extras over the reference schema: grad accumulation
-            # (effective batch = batch_size x accum_steps at one microbatch's
-            # activation memory) and rematerialization
+            # (the cfg batch is SPLIT into accum_steps microbatches of
+            # batch_size/accum_steps each — raise data.batch_size yourself to
+            # grow the effective batch; activation memory stays one
+            # microbatch's worth) and rematerialization
             accum_steps=int(getattr(cfg.data, "accum_steps", 1) or 1),
             remat=bool(getattr(cfg.data, "remat", False)),
         )
@@ -198,34 +206,52 @@ class Trainer:
                 filter_classes=list(cfg.data.filter_classes or []),
                 cache_images=cache_images,
             )
-            val_ds = YOLODataset(
-                os.path.join(cfg.data.data_dir, cfg.data.val_path),
-                img_size=self.img_size,
-                filter_classes=list(cfg.data.filter_classes or []),
-                cache_images=cache_images,
-            )
         elif fmt == "coco":
             train_ds = COCODataset(
                 cfg.data.data_dir, json_file="instances_train2017.json",
                 name=cfg.data.train_path, img_size=self.img_size,
                 cache_images=cache_images,
             )
-            val_ds = COCODataset(
-                cfg.data.data_dir, json_file="instances_val2017.json",
-                name=cfg.data.val_path, img_size=self.img_size,
-                cache_images=cache_images,
-            )
         else:
             raise ValueError(f"unknown data_format {fmt!r}")
+        val_ds = self._eval_dataset(str(cfg.data.val_path))
 
         train_loader = TrainLoader(
             train_ds, self.batch_size, img_size=self.img_size,
             aug_cfg=dict(self.cfg.augmentations),
+            seed=self.seed,
             shard=jax.process_index(), num_shards=jax.process_count(),
             num_workers=int(getattr(cfg.data, "num_workers", 0) or 0),
         )
         val_loader = ValLoader(val_ds, self.batch_size, img_size=self.img_size)
         return train_loader, val_loader
+
+    def _eval_dataset(self, split_path: str):
+        """Eval-split dataset for a `val_path`/`test_path` config value
+        (reference get_dataset, datamodule.py:44-56)."""
+        from vision_kit_tpu.data.datasets import COCODataset, YOLODataset
+
+        cfg = self.cfg
+        cache_images = getattr(cfg.data, "cache_images", None) or None
+        if cfg.data.data_format == "yolo":
+            return YOLODataset(
+                os.path.join(cfg.data.data_dir, split_path),
+                img_size=self.img_size,
+                filter_classes=list(cfg.data.filter_classes or []),
+                cache_images=cache_images,
+            )
+        # coco: prefer the conventional instances_<split>.json, keeping the
+        # val2017 default name as a fallback for the standard COCO layout
+        candidates = [f"instances_{split_path}.json", "instances_val2017.json"]
+        for json_file in candidates:
+            if os.path.exists(
+                os.path.join(cfg.data.data_dir, "annotations", json_file)
+            ):
+                break
+        return COCODataset(
+            cfg.data.data_dir, json_file=json_file, name=split_path,
+            img_size=self.img_size, cache_images=cache_images,
+        )
 
     # -- checkpointing ----------------------------------------------------
     @property
@@ -373,11 +399,17 @@ class Trainer:
         self._ckptr.wait_until_finished()
         self.train_loader.close()
 
-    def validate(self):
+    def validate(self, loader=None, collect_coco: bool = False):
+        """Run evaluation over `loader` (default: the val split).
+
+        collect_coco: also accumulate the COCO-protocol metric set (float64
+        copies of every batch) — only `test()` reads it, so the per-epoch
+        val loop skips that cost.
+        """
         from vision_kit_tpu.parallel.mesh import batch_sharding
 
-        self.evaluator.reset()
-        for batch in self.val_loader:
+        self.evaluator.reset(collect_coco=collect_coco)
+        for batch in (loader if loader is not None else self.val_loader):
             images = jax.device_put(
                 batch["image"], batch_sharding(self.mesh)
             )
@@ -387,8 +419,22 @@ class Trainer:
             )
         return self.evaluator.summarize()
 
+    def _test_loader(self):
+        """Loader for `trainer.test()`: the `data.test_path` split when
+        configured (reference datamodule.py:99-110), else the val split."""
+        from vision_kit_tpu.data.loader import ValLoader
+
+        test_path = getattr(self.cfg.data, "test_path", None)
+        if not test_path or str(test_path) == str(self.cfg.data.val_path):
+            logger.info("test(): no separate data.test_path — evaluating "
+                        "the val split (%s)", self.cfg.data.val_path)
+            return self.val_loader
+        logger.info("test(): evaluating the test split (%s)", test_path)
+        ds = self._eval_dataset(str(test_path))
+        return ValLoader(ds, self.batch_size, img_size=self.img_size)
+
     def test(self):
-        result = self.validate()
+        result = self.validate(self._test_loader(), collect_coco=True)
         table = RichTable("Details Per Class")
         table.add_headers(
             ["Class", "Images", "Num_Targets", "Precision", "Recall",
