@@ -79,6 +79,39 @@ LetterboxInfo DecodeLetterbox(const char* path, int dst_h, int dst_w,
   return info;
 }
 
+// One image: decode path -> min-ratio resize (NO pad) into out
+// (max_h*max_w*3, row-major on the full max_w stride is NOT used — the
+// resized image is written packed at its own h*w*3 stride so the caller
+// can view it as (h, w, 3)). Geometry matches the Python datasets'
+// `_decode_resized` exactly: ratio = min(max/src), new size via C-style
+// truncation of w*r / h*r (datasets.py:217-227), cv2 INTER_LINEAR.
+// meta: [h, w, h0, w0, ok] int32.
+void DecodeResize(const char* path, int max_h, int max_w, uint8_t* out,
+                  int32_t* meta) {
+  meta[0] = meta[1] = meta[2] = meta[3] = meta[4] = 0;
+  cv::Mat bgr = cv::imread(path, cv::IMREAD_COLOR);
+  if (bgr.empty()) return;
+  const int h0 = bgr.rows, w0 = bgr.cols;
+  const double r = std::min(static_cast<double>(max_h) / h0,
+                            static_cast<double>(max_w) / w0);
+  // Python: int(w0 * r) — truncation, not rounding
+  const int new_w = (r != 1.0) ? static_cast<int>(w0 * r) : w0;
+  const int new_h = (r != 1.0) ? static_cast<int>(h0 * r) : h0;
+  cv::Mat rgb(new_h, new_w, CV_8UC3, out);
+  if (r != 1.0) {
+    cv::Mat resized;
+    cv::resize(bgr, resized, cv::Size(new_w, new_h), 0, 0, cv::INTER_LINEAR);
+    cv::cvtColor(resized, rgb, cv::COLOR_BGR2RGB);
+  } else {
+    cv::cvtColor(bgr, rgb, cv::COLOR_BGR2RGB);
+  }
+  meta[0] = new_h;
+  meta[1] = new_w;
+  meta[2] = h0;
+  meta[3] = w0;
+  meta[4] = 1;
+}
+
 // Persistent thread pool (created once; survives across batch calls).
 class Pool {
  public:
@@ -168,6 +201,43 @@ int vkio_decode_letterbox_batch(const char** paths, int n, int dst_h,
       infos[i * 4 + 2] = info.dh;
       infos[i * 4 + 3] = static_cast<float>(info.ok);
       if (!info.ok) failures.fetch_add(1);
+      if (remaining.fetch_sub(1) == 1) {
+        std::lock_guard<std::mutex> lk(done_mu);
+        done_cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(done_mu);
+  done_cv.wait(lk, [&] { return remaining.load() == 0; });
+  return failures.load();
+}
+
+// Decode + min-ratio resize (no pad) a single image.
+// out: max_h*max_w*3 uint8, written packed at the resized (h, w, 3) shape.
+// meta: [h, w, h0, w0, ok] int32. Returns 0 on success.
+int vkio_decode_resize(const char* path, int max_h, int max_w, uint8_t* out,
+                       int32_t* meta) {
+  DecodeResize(path, max_h, max_w, out, meta);
+  return meta[4] ? 0 : 1;
+}
+
+// Decode + min-ratio resize a batch in parallel.
+// out: n*max_h*max_w*3 uint8 (each image packed within its own slot).
+// metas: n*5 int32 [h, w, h0, w0, ok]. Returns the number of failures.
+int vkio_decode_resize_batch(const char** paths, int n, int max_h, int max_w,
+                             uint8_t* out, int32_t* metas, int threads) {
+  Pool* pool = GlobalPool(threads);
+  std::atomic<int> remaining(n);
+  std::atomic<int> failures(0);
+  std::mutex done_mu;
+  std::condition_variable done_cv;
+
+  const size_t img_bytes = static_cast<size_t>(max_h) * max_w * 3;
+  for (int i = 0; i < n; ++i) {
+    pool->Submit([&, i] {
+      DecodeResize(paths[i], max_h, max_w, out + i * img_bytes,
+                   metas + i * 5);
+      if (!metas[i * 5 + 4]) failures.fetch_add(1);
       if (remaining.fetch_sub(1) == 1) {
         std::lock_guard<std::mutex> lk(done_mu);
         done_cv.notify_one();

@@ -1,0 +1,72 @@
+"""Val-loader throughput: native C++ batch decode vs the Python cv2 path.
+
+Builds a synthetic uncached JPEG dataset (val-realistic sizes), then times
+ValLoader iteration (decode + letterbox + collate) both ways.
+
+    python tools/bench_valloader.py [--n 256] [--size 640] [--hw 720 1280]
+
+Pure host benchmark — no TPU, safe to run anywhere (JAX_PLATFORMS=cpu).
+"""
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+import cv2
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_dataset(root, n, hw):
+    os.makedirs(os.path.join(root, "images"))
+    os.makedirs(os.path.join(root, "labels"))
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        img = rng.integers(0, 255, (*hw, 3), dtype=np.uint8)
+        cv2.imwrite(os.path.join(root, "images", f"{i}.jpg"), img)
+        with open(os.path.join(root, "labels", f"{i}.txt"), "w") as f:
+            f.write("0 0.5 0.5 0.4 0.3")
+
+
+def run(ds, batch, size, prefetch):
+    from vision_kit_tpu.data.loader import ValLoader
+
+    loader = ValLoader(ds, batch, img_size=(size, size), prefetch=prefetch)
+    n = 0
+    t0 = time.perf_counter()
+    for b in loader:
+        n += b["count"]
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--size", type=int, default=640)
+    ap.add_argument("--hw", type=int, nargs=2, default=(720, 1280))
+    args = ap.parse_args()
+
+    from vision_kit_tpu.data.datasets import YOLODataset
+
+    with tempfile.TemporaryDirectory() as root:
+        build_dataset(root, args.n, tuple(args.hw))
+        ds = YOLODataset(root, img_size=(args.size, args.size))
+
+        os.environ["VK_NO_NATIVE"] = "1"
+        py = run(ds, args.batch, args.size, prefetch=0)
+        print(f"python cv2 path:      {py:8.1f} img/s")
+        del os.environ["VK_NO_NATIVE"]
+        nat = run(ds, args.batch, args.size, prefetch=0)
+        print(f"native batch decode:  {nat:8.1f} img/s  ({nat / py:.2f}x)")
+        nat_pf = run(ds, args.batch, args.size, prefetch=2)
+        print(f"native + prefetch:    {nat_pf:8.1f} img/s  ({nat_pf / py:.2f}x)"
+              " (prefetch overlaps device work, not visible host-only)")
+
+
+if __name__ == "__main__":
+    main()

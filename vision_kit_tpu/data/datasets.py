@@ -32,6 +32,16 @@ logger = logging.getLogger("vision_kit_tpu")
 IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
 
+def _use_native() -> bool:
+    """Native vkio decode path (C++ thread-pool, bit-identical to the cv2
+    path — tests/test_native.py). Opt out with VK_NO_NATIVE=1."""
+    if os.environ.get("VK_NO_NATIVE"):
+        return False
+    from vision_kit_tpu.data import native
+
+    return native.available()
+
+
 def _img2label_path(img_path: str) -> str:
     sa = os.sep + "images" + os.sep
     sb = os.sep + "labels" + os.sep
@@ -63,10 +73,14 @@ class _ImageCacheMixin:
         if not self.cache_images:
             return
         maxh, maxw = self.input_dim
+        chunk = 64  # batched native decode during cache build
         if self.cache_images == "ram":
-            self._ram_cache = [None] * len(self)
-            for i in range(len(self)):
-                self._ram_cache[i] = self._decode_resized(i)
+            self._ram_cache = []
+            for s in range(0, len(self), chunk):
+                for img, hw0 in self._decode_resized_batch(
+                    range(s, min(s + chunk, len(self)))
+                ):
+                    self._ram_cache.append((np.array(img), hw0))
             logger.info("cached %d images in RAM", len(self))
             return
         tag = hashlib.md5(
@@ -88,11 +102,14 @@ class _ImageCacheMixin:
                 logger.warning("disk image cache unreadable, rebuilding")
         mm = np.memmap(self._mm_path, np.uint8, "w+", shape=self._mm_shape)
         meta = np.zeros((len(self), 4), np.int32)
-        for i in range(len(self)):
-            img, (h0, w0) = self._decode_resized(i)
-            h, w = img.shape[:2]
-            mm[i, :h, :w] = img
-            meta[i] = (h, w, h0, w0)
+        for s in range(0, len(self), chunk):
+            idxs = range(s, min(s + chunk, len(self)))
+            for i, (img, (h0, w0)) in zip(
+                idxs, self._decode_resized_batch(idxs)
+            ):
+                h, w = img.shape[:2]
+                mm[i, :h, :w] = img
+                meta[i] = (h, w, h0, w0)
         mm.flush()
         np.save(meta_path, meta)
         self._mm_meta = meta
@@ -114,6 +131,56 @@ class _ImageCacheMixin:
             h, w, h0, w0 = (int(v) for v in self._mm_meta[idx])
             return np.array(self._mm[idx, :h, :w]), (h0, w0)
         return self._decode_resized(idx)
+
+    # -- native decode dispatch ------------------------------------------
+    def _decode_resized(self, idx: int):
+        """Decode + min-ratio resize of one image: native C++ when
+        available, cv2 otherwise (bit-identical; see native/vkio.cpp
+        DecodeResize vs `_decode_resized_py`)."""
+        if _use_native():
+            from vision_kit_tpu.data import native
+
+            out = native.decode_resize(self._image_path(idx), self.input_dim)
+            if out is not None:
+                return out
+            # fall through: the python path owns the unreadable-file error
+        return self._decode_resized_py(idx)
+
+    def _decode_resized_batch(self, idxs):
+        """Batched decode+resize: one native thread-pool call for the whole
+        batch (SURVEY §2.6 "image decode/resize" as a native capability).
+        Returns a list of (img_view, (h0, w0)); views alias one shared
+        buffer — copy before storing long-term."""
+        idxs = list(idxs)
+        if _use_native() and len(idxs) > 1:
+            from vision_kit_tpu.data import native
+
+            buf, metas = native.decode_resize_batch(
+                [self._image_path(i) for i in idxs], self.input_dim
+            )
+            out = []
+            for k, i in enumerate(idxs):
+                h, w, h0, w0, ok = (int(v) for v in metas[k])
+                if not ok:  # python path raises/handles the bad file
+                    out.append(self._decode_resized_py(i))
+                else:
+                    out.append((buf[k, : h * w * 3].reshape(h, w, 3),
+                                (h0, w0)))
+            return out
+        return [self._decode_resized(i) for i in idxs]
+
+    def batch_pull_items(self, idxs):
+        """Batched pull_item (same tuples): parallel native decode when the
+        images are not already cached. The ValLoader's per-batch entry."""
+        idxs = list(idxs)
+        if self.cache_images:
+            return [self.pull_item(i) for i in idxs]
+        decoded = self._decode_resized_batch(idxs)
+        return [
+            (img, self._labels_resized(i, img.shape[:2], hw0), hw0,
+             self._item_id(i))
+            for (img, hw0), i in zip(decoded, idxs)
+        ]
 
     def __getstate__(self):
         state = dict(self.__dict__)
@@ -155,46 +222,120 @@ class YOLODataset(_ImageCacheMixin):
             cache_images, "\n".join(self.img_files), self.data_dir
         )
 
-    # -- label cache ------------------------------------------------------
+    # -- label cache + integrity scan -------------------------------------
     def _cache_path(self) -> str:
         h = hashlib.md5("\n".join(self.img_files).encode()).hexdigest()[:12]
         return os.path.join(self.data_dir, f".vk_labels_{h}.npz")
 
+    @staticmethod
+    def _check_img(path: str) -> str | None:
+        """Image integrity check (reference check_img, yolo.py:251-268):
+        PIL verify, EXIF-corrected min-size gate, truncated-JPEG
+        detect+restore. Returns None when usable, else the drop reason."""
+        from vision_kit_tpu.utils.general import exif_size
+
+        try:
+            from PIL import Image, ImageOps
+
+            with Image.open(path) as im:
+                im.verify()
+                w, h = exif_size(im)
+                fmt = (im.format or "").lower()
+            if w < 10 or h < 10:
+                return f"image size {w}x{h} < 10 pixels"
+            if fmt in ("jpg", "jpeg"):
+                with open(path, "rb") as f:
+                    f.seek(-2, 2)
+                    truncated = f.read() != b"\xff\xd9"
+                if truncated:
+                    # reference behavior: re-encode in display orientation
+                    # (decoding the partial stream needs PIL's truncated
+                    # mode; missing scanlines come out gray)
+                    from PIL import ImageFile
+
+                    prev = ImageFile.LOAD_TRUNCATED_IMAGES
+                    ImageFile.LOAD_TRUNCATED_IMAGES = True
+                    try:
+                        ImageOps.exif_transpose(Image.open(path)).save(
+                            path, "JPEG", subsampling=0, quality=100
+                        )
+                        logger.warning(
+                            "%s: corrupt JPEG restored and saved", path
+                        )
+                    except Exception as e:
+                        return f"truncated JPEG, restore failed: {e}"
+                    finally:
+                        ImageFile.LOAD_TRUNCATED_IMAGES = prev
+            return None
+        except Exception as e:
+            return str(e)
+
     def _load_labels(self, cache: bool):
+        """Label parse + image integrity scan. Unreadable/corrupt images are
+        logged and DROPPED (self.img_files shrinks) instead of crashing the
+        loader mid-epoch; verdicts are cached in the .npz keyed by the
+        original file list."""
         path = self._cache_path()
         if cache and os.path.exists(path):
             try:
                 with np.load(path, allow_pickle=True) as z:
-                    return list(z["labels"])
+                    files = [str(f) for f in z["files"]]
+                    labels = list(z["labels"])
+                if len(files) == len(labels):
+                    self.img_files = files
+                    return labels
+                logger.warning("label cache stale, rebuilding: %s", path)
             except Exception:
                 logger.warning("label cache unreadable, rebuilding: %s", path)
-        labels = []
-        n_missing = n_bad = 0
+        labels, kept = [], []
+        n_missing = n_bad = n_dropped = 0
         for img_path in self.img_files:
+            reason = self._check_img(img_path)
+            if reason is not None:
+                n_dropped += 1
+                logger.warning("dropping unreadable image %s: %s",
+                               img_path, reason)
+                continue
             lp = _img2label_path(img_path)
             rows = np.zeros((0, 5), np.float32)
             if os.path.exists(lp):
                 try:
                     raw = np.loadtxt(lp, ndmin=2, dtype=np.float32)
                     if raw.size:
-                        assert raw.shape[1] == 5, f"labels need 5 cols: {lp}"
-                        assert (raw >= 0).all(), f"negative values: {lp}"
-                        assert (raw[:, 1:] <= 1).all(), (
-                            f"non-normalized coords: {lp}"
-                        )
+                        if raw.shape[1] != 5:
+                            raise ValueError(f"labels need 5 cols: {lp}")
+                        if not (raw >= 0).all():
+                            raise ValueError(f"negative values: {lp}")
+                        if not (raw[:, 1:] <= 1).all():
+                            raise ValueError(f"non-normalized coords: {lp}")
+                        _, uniq = np.unique(raw, axis=0, return_index=True)
+                        if len(uniq) < len(raw):  # reference yolo.py:283-287
+                            logger.warning(
+                                "%s: %d duplicate labels removed", lp,
+                                len(raw) - len(uniq),
+                            )
+                            raw = raw[np.sort(uniq)]
                         rows = raw
                 except Exception as e:  # drop bad sample's labels, keep image
                     n_bad += 1
                     logger.warning("bad label file %s: %s", lp, e)
             else:
                 n_missing += 1
+            kept.append(img_path)
             labels.append(rows)
-        if n_missing == len(self.img_files):
+        if not kept:
+            raise RuntimeError(
+                f"no readable images under {self.data_dir} "
+                f"({n_dropped} dropped as corrupt)"
+            )
+        if n_missing == len(kept):
             logger.warning("No labels found under %s", self.data_dir)
+        self.img_files = kept
         if cache:
             try:
                 np.savez_compressed(
-                    path, labels=np.asarray(labels, dtype=object)
+                    path, labels=np.asarray(labels, dtype=object),
+                    files=np.asarray(kept),
                 )
             except Exception:
                 pass
@@ -214,7 +355,13 @@ class YOLODataset(_ImageCacheMixin):
         pull_item (labels scale with the image)."""
         return self.pull_item(idx)[1]
 
-    def _decode_resized(self, idx: int):
+    def _image_path(self, idx: int) -> str:
+        return self.img_files[idx]
+
+    def _item_id(self, idx: int):
+        return idx
+
+    def _decode_resized_py(self, idx: int):
         img = self.load_image(idx)
         h0, w0 = img.shape[:2]
         r = min(self.input_dim[0] / h0, self.input_dim[1] / w0)
@@ -226,9 +373,9 @@ class YOLODataset(_ImageCacheMixin):
             )
         return img, (h0, w0)
 
-    def pull_item(self, idx: int):
-        img, (h0, w0) = self._get_resized(idx)
-        h, w = img.shape[:2]
+    def _labels_resized(self, idx: int, img_hw, hw0) -> np.ndarray:
+        """Normalized label rows -> absolute xyxy+cls in the resized frame."""
+        h, w = img_hw
         rows = self.labels[idx]
         out = np.zeros((len(rows), 5), np.float32)
         if len(rows):
@@ -243,7 +390,12 @@ class YOLODataset(_ImageCacheMixin):
             if self.filter_classes:
                 keep = np.isin(out[:, 4], self.filter_classes)
                 out = out[keep]
-        return img, out, (h0, w0), idx
+        return out
+
+    def pull_item(self, idx: int):
+        img, (h0, w0) = self._get_resized(idx)
+        labels = self._labels_resized(idx, img.shape[:2], (h0, w0))
+        return img, labels, (h0, w0), idx
 
 
 class COCODataset(_ImageCacheMixin):
@@ -326,9 +478,15 @@ class COCODataset(_ImageCacheMixin):
         labels[:, :4] *= r
         return labels
 
-    def _decode_resized(self, idx: int):
-        item = self.items[idx]
-        path = os.path.join(self.data_dir, self.name, item["file_name"])
+    def _image_path(self, idx: int) -> str:
+        return os.path.join(self.data_dir, self.name,
+                            self.items[idx]["file_name"])
+
+    def _item_id(self, idx: int):
+        return self.items[idx]["id"]
+
+    def _decode_resized_py(self, idx: int):
+        path = self._image_path(idx)
         img = cv2.imread(path)
         assert img is not None, f"image unreadable: {path}"
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
@@ -341,13 +499,17 @@ class COCODataset(_ImageCacheMixin):
             )
         return img, (h0, w0)
 
-    def pull_item(self, idx: int):
-        item = self.items[idx]
-        img, (h0, w0) = self._get_resized(idx)
+    def _labels_resized(self, idx: int, img_hw, hw0) -> np.ndarray:
+        h0, w0 = hw0
         r = min(self.input_dim[0] / h0, self.input_dim[1] / w0)
-        labels = item["labels"].copy()
+        labels = self.items[idx]["labels"].copy()
         labels[:, :4] *= r
-        return img, labels, (h0, w0), item["id"]
+        return labels
+
+    def pull_item(self, idx: int):
+        img, (h0, w0) = self._get_resized(idx)
+        labels = self._labels_resized(idx, img.shape[:2], (h0, w0))
+        return img, labels, (h0, w0), self.items[idx]["id"]
 
 
 class ConcatDataset:

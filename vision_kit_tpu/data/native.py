@@ -51,6 +51,17 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.c_int,
     ]
     lib.vkio_decode_letterbox_batch.restype = ctypes.c_int
+    lib.vkio_decode_resize.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.vkio_decode_resize.restype = ctypes.c_int
+    lib.vkio_decode_resize_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+    ]
+    lib.vkio_decode_resize_batch.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -96,3 +107,46 @@ def decode_letterbox_batch(paths: list[str], dst_hw: tuple[int, int],
         threads,
     )
     return out, infos
+
+
+def decode_resize(path: str, max_hw: tuple[int, int]):
+    """Decode + min-ratio resize (no pad) — the datasets' `_decode_resized`
+    geometry. Returns ((h, w, 3) uint8 RGB view, (h0, w0)) or None on
+    decode failure."""
+    lib = _load()
+    assert lib is not None, "native vkio unavailable"
+    mh, mw = max_hw
+    buf = np.empty(mh * mw * 3, np.uint8)
+    meta = np.empty(5, np.int32)
+    lib.vkio_decode_resize(
+        path.encode(), mh, mw,
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    h, w, h0, w0, ok = (int(v) for v in meta)
+    if not ok:
+        return None
+    return buf[: h * w * 3].reshape(h, w, 3), (h0, w0)
+
+
+def decode_resize_batch(paths: list[str], max_hw: tuple[int, int],
+                        threads: int = 0):
+    """Parallel batch decode + min-ratio resize.
+
+    Returns (buf (N, max_h*max_w*3) uint8 — image k is
+    buf[k, :h*w*3].reshape(h, w, 3) — and metas (N, 5) int32
+    [h, w, h0, w0, ok])."""
+    lib = _load()
+    assert lib is not None, "native vkio unavailable"
+    mh, mw = max_hw
+    n = len(paths)
+    buf = np.empty((n, mh * mw * 3), np.uint8)
+    metas = np.empty((n, 5), np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.vkio_decode_resize_batch(
+        arr, n, mh, mw,
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        metas.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        threads,
+    )
+    return buf, metas
