@@ -264,3 +264,120 @@ def test_train_loader_worker_crash_propagates(yolo_dir, tmp_path):
     with pytest.raises(RuntimeError, match="worker"):
         next(iter(loader))
     loader.close()
+
+
+# -- image integrity (EXIF + corrupt JPEG), reference yolo.py:251-268 -----
+
+def _mk_yolo_dir(root):
+    (root / "images").mkdir(parents=True, exist_ok=True)
+    (root / "labels").mkdir(parents=True, exist_ok=True)
+
+
+def test_exif_rotated_jpeg_dims_and_decode_align(tmp_path):
+    """An EXIF-rotated JPEG must decode in display orientation (labels are
+    written for what the user sees) on BOTH the python and native paths."""
+    from PIL import Image
+
+    from vision_kit_tpu.data.datasets import YOLODataset
+
+    _mk_yolo_dir(tmp_path)
+    # stored 200w x 100h, orientation 6 (90 CW) -> displayed 100w x 200h
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (100, 200, 3), dtype=np.uint8)
+    ex = Image.Exif()
+    ex[274] = 6
+    Image.fromarray(arr).save(
+        str(tmp_path / "images" / "r.jpg"), exif=ex.tobytes()
+    )
+    (tmp_path / "labels" / "r.txt").write_text("0 0.5 0.5 0.5 0.5")
+
+    ds = YOLODataset(str(tmp_path), img_size=(64, 64), cache=False)
+    img, labels, (h0, w0), _ = ds.pull_item(0)
+    assert (h0, w0) == (200, 100)  # display orientation
+    import os as _os
+
+    _os.environ["VK_NO_NATIVE"] = "1"
+    try:
+        img_py, _, hw0_py, _ = ds.pull_item(0)
+    finally:
+        del _os.environ["VK_NO_NATIVE"]
+    assert hw0_py == (200, 100)
+    np.testing.assert_array_equal(img, img_py)
+
+
+def test_truncated_jpeg_restored(tmp_path):
+    """A truncated JPEG is detected at scan time, restored in place with a
+    warning, and the sample stays usable (reference yolo.py:260-267)."""
+    from vision_kit_tpu.data.datasets import YOLODataset
+
+    _mk_yolo_dir(tmp_path)
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        img = rng.integers(0, 255, (80, 120, 3), dtype=np.uint8)
+        cv2.imwrite(str(tmp_path / "images" / f"{i}.jpg"), img)
+        (tmp_path / "labels" / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4")
+    p = tmp_path / "images" / "1.jpg"
+    data = p.read_bytes()
+    p.write_bytes(data[:-60])  # chop the tail incl. the EOI marker
+
+    ds = YOLODataset(str(tmp_path), img_size=(64, 64), cache=False)
+    assert len(ds) == 3  # restored, not dropped
+    assert p.read_bytes()[-2:] == b"\xff\xd9"  # rewritten with EOI
+    img, labels, hw0, _ = ds.pull_item(1)
+    assert img is not None and hw0 == (80, 120)
+
+
+def test_unreadable_image_dropped_not_crashed(tmp_path):
+    """Garbage image files are logged and skipped; the dataset and loaders
+    keep working on the remaining samples."""
+    from vision_kit_tpu.data.datasets import YOLODataset
+    from vision_kit_tpu.data.loader import ValLoader
+
+    _mk_yolo_dir(tmp_path)
+    rng = np.random.default_rng(2)
+    for i in range(4):
+        img = rng.integers(0, 255, (80, 120, 3), dtype=np.uint8)
+        cv2.imwrite(str(tmp_path / "images" / f"{i}.jpg"), img)
+        (tmp_path / "labels" / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4")
+    (tmp_path / "images" / "bad.jpg").write_bytes(b"not an image at all")
+    (tmp_path / "labels" / "bad.txt").write_text("0 0.5 0.5 0.4 0.4")
+
+    ds = YOLODataset(str(tmp_path), img_size=(64, 64), cache=False)
+    assert len(ds) == 4  # bad.jpg dropped
+    assert not any("bad.jpg" in f for f in ds.img_files)
+    batches = list(ValLoader(ds, 2, img_size=(64, 64)))
+    assert sum(b["count"] for b in batches) == 4
+
+
+def test_integrity_verdicts_cached(tmp_path):
+    """The drop verdicts persist in the label cache: a second construction
+    over the same file list skips the bad file without rescanning."""
+    from vision_kit_tpu.data.datasets import YOLODataset
+
+    _mk_yolo_dir(tmp_path)
+    rng = np.random.default_rng(3)
+    for i in range(2):
+        img = rng.integers(0, 255, (80, 120, 3), dtype=np.uint8)
+        cv2.imwrite(str(tmp_path / "images" / f"{i}.jpg"), img)
+        (tmp_path / "labels" / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4")
+    (tmp_path / "images" / "bad.jpg").write_bytes(b"junk")
+
+    ds1 = YOLODataset(str(tmp_path), img_size=(64, 64), cache=True)
+    assert len(ds1) == 2
+    ds2 = YOLODataset(str(tmp_path), img_size=(64, 64), cache=True)
+    assert len(ds2) == 2 and ds2.img_files == ds1.img_files
+
+
+def test_duplicate_labels_removed(tmp_path):
+    """Duplicate label rows are deduplicated with a warning (reference
+    check_label, yolo.py:283-287)."""
+    from vision_kit_tpu.data.datasets import YOLODataset
+
+    _mk_yolo_dir(tmp_path)
+    img = np.full((80, 120, 3), 100, np.uint8)
+    cv2.imwrite(str(tmp_path / "images" / "0.jpg"), img)
+    (tmp_path / "labels" / "0.txt").write_text(
+        "0 0.5 0.5 0.4 0.4\n0 0.5 0.5 0.4 0.4\n1 0.25 0.25 0.2 0.2"
+    )
+    ds = YOLODataset(str(tmp_path), img_size=(64, 64), cache=False)
+    assert len(ds.labels[0]) == 2

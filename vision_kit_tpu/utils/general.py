@@ -63,3 +63,22 @@ def mk_output_dir(path: str, model_name: str, task: str) -> str:
     out = os.path.join(path, model_name, task, datetime.now().strftime("%Y%m%d%H%M"))
     os.makedirs(out, exist_ok=True)
     return out
+
+
+def exif_size(img) -> tuple[int, int]:
+    """EXIF-orientation-corrected (width, height) of a PIL image
+    (reference utils/general.py:24-31): orientations 6/8 (90/270 deg)
+    swap the stored dimensions."""
+    import contextlib
+
+    from PIL import ExifTags
+
+    orientation_tag = next(
+        k for k, v in ExifTags.TAGS.items() if v == "Orientation"
+    )
+    s = img.size
+    with contextlib.suppress(Exception):
+        rotation = dict(img._getexif().items())[orientation_tag]
+        if rotation in (6, 8):
+            s = (s[1], s[0])
+    return s
