@@ -144,3 +144,168 @@ def test_evaluator_summarize_coco_smoke():
     ev.update(dets, valid, targets, infos)
     coco = ev.summarize_coco()
     assert coco["map_50"] == pytest.approx(1.0)
+
+
+# -- randomized differential vs the round-1 loop-based matcher ------------
+# The vectorized _greedy_match must reproduce the original triple-loop
+# COCOeval semantics exactly; the old matcher lives on here as the oracle.
+
+def _match_image_ref(dets, gts, area_rng, max_det):
+    """Round-1 loop-based COCOeval matching (oracle)."""
+    from vision_kit_tpu.train.coco_metrics import IOU_THRS, _box_area, _iou
+
+    lo, hi = area_rng
+    order = np.argsort(-dets[:, 4], kind="stable")[:max_det]
+    dets = dets[order]
+    g_area = _box_area(gts) if len(gts) else np.zeros((0,))
+    g_ignore = (g_area < lo) | (g_area > hi)
+    g_order = np.argsort(g_ignore, kind="stable")
+    gts = gts[g_order]
+    g_ignore = g_ignore[g_order]
+    n, m = len(dets), len(gts)
+    n_iou = len(IOU_THRS)
+    tp = np.zeros((n, n_iou), dtype=bool)
+    d_ignore = np.zeros((n, n_iou), dtype=bool)
+    if m:
+        ious = _iou(dets[:, :4], gts)
+        for ti, thr in enumerate(IOU_THRS):
+            taken = np.zeros(m, dtype=bool)
+            for di in range(n):
+                best, best_iou = -1, thr - 1e-10
+                for gi in range(m):
+                    if taken[gi]:
+                        continue
+                    if best > -1 and not g_ignore[best] and g_ignore[gi]:
+                        break
+                    if ious[di, gi] < best_iou:
+                        continue
+                    best, best_iou = gi, ious[di, gi]
+                if best > -1:
+                    taken[best] = True
+                    if g_ignore[best]:
+                        d_ignore[di, ti] = True
+                    else:
+                        tp[di, ti] = True
+    d_area = _box_area(dets[:, :4])
+    out_of_range = (d_area < lo) | (d_area > hi)
+    d_ignore |= (out_of_range[:, None] & ~tp)
+    return dets[:, 4], tp, d_ignore, int((~g_ignore).sum())
+
+
+class _RefCOCOMetrics(COCOMetrics):
+    """Round-1 compute() driving the oracle matcher."""
+
+    def compute(self):
+        from vision_kit_tpu.train.coco_metrics import (
+            AREA_RANGES, IOU_THRS, MAX_DETS, REC_THRS)
+
+        classes = list(self.class_ids) if self.class_ids is not None else \
+            sorted({int(v) for p, l in self.images
+                    for v in (list(l[:, 0]) if len(l) else [])
+                    + (list(p[:, 5]) if len(p) else [])})
+        n_iou, n_rec = len(IOU_THRS), len(REC_THRS)
+        settings = [(a, d) for a in AREA_RANGES for d in MAX_DETS]
+        precision = {s: np.full((n_iou, n_rec, len(classes)), -1.0)
+                     for s in settings}
+        recall_ = {s: np.full((n_iou, len(classes)), -1.0) for s in settings}
+        for ci, c in enumerate(classes):
+            per_img = []
+            for preds, labels in self.images:
+                d = preds[preds[:, 5] == c][:, :5] if len(preds) \
+                    else np.zeros((0, 5))
+                g = labels[labels[:, 0] == c][:, 1:5] if len(labels) \
+                    else np.zeros((0, 4))
+                per_img.append((d, g))
+            for a_name, a_rng in AREA_RANGES.items():
+                matched = [_match_image_ref(d, g, a_rng, MAX_DETS[-1])
+                           for d, g in per_img]
+                n_gt = sum(m[3] for m in matched)
+                if n_gt == 0:
+                    continue
+                for max_det in MAX_DETS:
+                    scores = np.concatenate(
+                        [m[0][:max_det] for m in matched])
+                    tps = np.concatenate(
+                        [m[1][:max_det] for m in matched], 0)
+                    igns = np.concatenate(
+                        [m[2][:max_det] for m in matched], 0)
+                    order = np.argsort(-scores, kind="mergesort")
+                    tps, igns = tps[order], igns[order]
+                    key = (a_name, max_det)
+                    for ti in range(n_iou):
+                        keep = ~igns[:, ti]
+                        tp = tps[keep, ti]
+                        tp_cum = np.cumsum(tp)
+                        fp_cum = np.cumsum(~tp)
+                        rc = tp_cum / n_gt
+                        pr = tp_cum / np.maximum(tp_cum + fp_cum, 1e-9)
+                        recall_[key][ti, ci] = rc[-1] if len(rc) else 0.0
+                        pr = np.maximum.accumulate(pr[::-1])[::-1]
+                        inds = np.searchsorted(rc, REC_THRS, side="left")
+                        q = np.zeros(n_rec)
+                        valid = inds < len(pr)
+                        q[valid] = pr[inds[valid]]
+                        precision[key][ti, :, ci] = q
+
+        def _ap(a_name, max_det, iou_slice=slice(None)):
+            p = precision[(a_name, max_det)][iou_slice]
+            p = p[p > -1]
+            return float(p.mean()) if p.size else -1.0
+
+        def _ar(a_name, max_det):
+            r = recall_[(a_name, max_det)]
+            r = r[r > -1]
+            return float(r.mean()) if r.size else -1.0
+
+        return {
+            "map": _ap("all", 100), "map_50": _ap("all", 100, slice(0, 1)),
+            "map_75": _ap("all", 100, slice(5, 6)),
+            "map_small": _ap("small", 100),
+            "map_medium": _ap("medium", 100),
+            "map_large": _ap("large", 100),
+            "mar_1": _ar("all", 1), "mar_10": _ar("all", 10),
+            "mar_100": _ar("all", 100), "mar_small": _ar("small", 100),
+            "mar_medium": _ar("medium", 100), "mar_large": _ar("large", 100),
+        }
+
+
+def _random_scene(rng, n_classes, clustered=False):
+    """Random preds/labels with size diversity (hits all area bins), exact
+    duplicate boxes (IoU ties) and overlapping clusters."""
+    m = int(rng.integers(0, 8))
+    n = int(rng.integers(0, 15))
+    def boxes(k):
+        xy = rng.uniform(0, 500, (k, 2))
+        # log-uniform sizes: spans small (<32^2) to large (>96^2)
+        wh = np.exp(rng.uniform(np.log(4), np.log(300), (k, 2)))
+        return np.concatenate([xy, xy + wh], 1)
+    labels = np.concatenate(
+        [rng.integers(0, n_classes, (m, 1)).astype(float), boxes(m)], 1
+    ) if m else np.zeros((0, 5))
+    b = boxes(n)
+    if clustered and n > 2 and m:
+        # jittered copies of gt boxes -> dense overlaps + near-ties
+        src = labels[rng.integers(0, m, n), 1:5]
+        b = src + rng.normal(0, 4, (n, 4))
+    if n > 1:
+        b[0] = b[1]  # exact duplicate pair -> argmax tie
+    preds = np.concatenate(
+        [b, rng.uniform(0, 1, (n, 1)),
+         rng.integers(0, n_classes, (n, 1)).astype(float)], 1
+    ) if n else np.zeros((0, 6))
+    return preds, labels
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_vectorized_matches_loop_oracle(seed):
+    rng = np.random.default_rng(seed)
+    fast = COCOMetrics(class_ids=list(range(5)))
+    ref = _RefCOCOMetrics(class_ids=list(range(5)))
+    for i in range(25):
+        p, l = _random_scene(rng, 5, clustered=(i % 2 == 0))
+        fast.update(p, l)
+        ref.update(p, l)
+    got, exp = fast.compute(), ref.compute()
+    assert got.keys() == exp.keys()
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-12), k
