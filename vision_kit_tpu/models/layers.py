@@ -102,7 +102,7 @@ class ConvBnAct(nn.Module):
     kernel (6,6,C,O) -> (3,3,4C,O) with ws[a,b,(ph,pw,c)] = w[2a+ph, 2b+pw,
     c]. Mathematically identical output (same receptive field and padding),
     but the MXU sees a 4x wider input-channel dim and stride-1 tiling — the
-    3-channel 6x6/s2 stem is ~9x faster this way on v5e (tools/bench_micro).
+    3-channel 6x6/s2 stem is ~9x faster this way on v5e (tools/archive/bench_micro).
     The parameter stays (6,6,C,O) so checkpoints/converters are unchanged.
     """
 
