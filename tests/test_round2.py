@@ -151,3 +151,39 @@ def test_predictor_spatial_size_check():
     mesh = make_mesh(n_data=4, n_model=2)  # needs H >= 128
     with pytest.raises(ValueError, match="spatial"):
         Predictor(model, variables, img_size=96, mesh=mesh, spatial=True)
+
+
+def test_observability_tb_scalars_and_grids(tmp_path):
+    """TB event files must contain the loss components, mAP scalars and the
+    per-split sample grids (reference pushes grids to TB/WandB,
+    det_trainer.py:110-143)."""
+    from tensorboard.backend.event_processing import event_accumulator
+
+    _write_split(tmp_path, "train", 4)
+    _write_split(tmp_path, "valid", 2)
+    cfg = _cfg(tmp_path)
+    trainer = Trainer(cfg, mesh=make_mesh(n_data=1, n_model=1),
+                      use_tensorboard=True)
+    try:
+        trainer.fit()
+        trainer.test()
+        trainer.tb.flush()
+        ea = event_accumulator.EventAccumulator(
+            os.path.join(cfg.data.output_dir, "tb"),
+            size_guidance={"scalars": 0, "images": 0},
+        )
+        ea.Reload()
+        scalars = set(ea.Tags()["scalars"])
+        images = set(ea.Tags()["images"])
+        for tag in ("loss", "loss/box", "loss/obj", "loss/cls", "lr",
+                    "mAP@.5", "mAP@.5:.95"):
+            assert tag in scalars, (tag, scalars)
+        for tag in ("samples/train", "samples/val", "samples/test"):
+            assert tag in images, (tag, images)
+        # the on-disk jpgs exist too (reference writes <split>.jpg)
+        for split in ("train", "val", "test"):
+            assert os.path.exists(
+                os.path.join(cfg.data.output_dir, f"{split}.jpg")
+            )
+    finally:
+        trainer.train_loader.close()

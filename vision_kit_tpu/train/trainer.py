@@ -189,6 +189,22 @@ class Trainer:
         if self.wandb:
             self.wandb.log({name: value}, step=step)
 
+    def _log_image(self, tag: str, img_rgb, step: int):
+        """Push an HWC uint8 RGB image to TB/WandB (reference pushes the
+        per-split sample grids to both loggers, det_trainer.py:110-143)."""
+        if self.tb:
+            try:
+                self.tb.add_image(tag, img_rgb, step, dataformats="HWC")
+            except Exception as e:
+                logger.warning("tb image log failed: %s", e)
+        if self.wandb:
+            try:
+                import wandb
+
+                self.wandb.log({tag: wandb.Image(img_rgb)})
+            except Exception as e:
+                logger.warning("wandb image log failed: %s", e)
+
     # -- data -------------------------------------------------------------
     def _build_loaders(self):
         from vision_kit_tpu.data.datasets import COCODataset, YOLODataset
@@ -364,6 +380,10 @@ class Trainer:
                 self.steps_per_epoch * self.batch_size / dt,
             )
             self._log_scalar("loss", float(losses["loss"]), epoch)
+            # loss components each epoch (box/obj/cls)
+            self._log_scalar("loss/box", float(losses["loss_box"]), epoch)
+            self._log_scalar("loss/obj", float(losses["loss_obj"]), epoch)
+            self._log_scalar("loss/cls", float(losses["loss_cls"]), epoch)
             # LR monitor (reference LearningRateMonitor per epoch,
             # training_helpers.py:111-113)
             self._log_scalar(
@@ -378,6 +398,8 @@ class Trainer:
                     "epoch %d mAP@.5 %.4f mAP@.5:.95 %.4f",
                     epoch + 1, map50, result["map50_95"],
                 )
+                if result["per_class"]:
+                    logger.info("\n%s", self._per_class_table(result))
                 self._log_scalar("mAP@.5", map50, epoch)
                 self._log_scalar("mAP@.5:.95", result["map50_95"], epoch)
                 if map50 > self.best_map50:
@@ -399,7 +421,8 @@ class Trainer:
         self._ckptr.wait_until_finished()
         self.train_loader.close()
 
-    def validate(self, loader=None, collect_coco: bool = False):
+    def validate(self, loader=None, collect_coco: bool = False,
+                 split: str = "val"):
         """Run evaluation over `loader` (default: the val split).
 
         collect_coco: also accumulate the COCO-protocol metric set (float64
@@ -409,7 +432,12 @@ class Trainer:
         from vision_kit_tpu.parallel.mesh import batch_sharding
 
         self.evaluator.reset(collect_coco=collect_coco)
-        for batch in (loader if loader is not None else self.val_loader):
+        for bi, batch in enumerate(
+            loader if loader is not None else self.val_loader
+        ):
+            if bi == 0:
+                self._save_grid(batch, split,
+                                step=getattr(self, "_cur_epoch", 0))
             images = jax.device_put(
                 batch["image"], batch_sharding(self.mesh)
             )
@@ -433,8 +461,8 @@ class Trainer:
         ds = self._eval_dataset(str(test_path))
         return ValLoader(ds, self.batch_size, img_size=self.img_size)
 
-    def test(self):
-        result = self.validate(self._test_loader(), collect_coco=True)
+    @staticmethod
+    def _per_class_table(result) -> str:
         table = RichTable("Details Per Class")
         table.add_headers(
             ["Class", "Images", "Num_Targets", "Precision", "Recall",
@@ -446,7 +474,12 @@ class Trainer:
              round(r["ap50"], 3), round(r["ap"], 3)]
             for r in result["per_class"]
         ])
-        logger.info("\n%s", table.table)
+        return table.table
+
+    def test(self):
+        result = self.validate(self._test_loader(), collect_coco=True,
+                               split="test")
+        logger.info("\n%s", self._per_class_table(result))
         logger.info(
             "mAP@.5 %.4f  mAP@.5:.95 %.4f", result["map50"],
             result["map50_95"],
@@ -515,13 +548,17 @@ class Trainer:
             jax.block_until_ready(metrics)
         logger.info("profile trace written to %s", trace_dir)
 
-    def _save_grid(self, batch, split):
+    def _save_grid(self, batch, split, step: int = 0):
+        """First-batch sample grid (GT boxes drawn): saved to
+        <output_dir>/<split>.jpg AND pushed to TB/WandB as
+        samples/<split> (reference det_trainer.py:48-49,62-63,77-78)."""
         try:
             from vision_kit_tpu.utils.drawing import grid_save
 
-            grid_save(
+            grid = grid_save(
                 batch["image"], batch["targets"],
                 os.path.join(self.output_dir, f"{split}.jpg"),
             )
+            self._log_image(f"samples/{split}", grid, step)
         except Exception as e:
             logger.warning("sample grid save failed: %s", e)

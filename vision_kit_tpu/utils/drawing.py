@@ -77,4 +77,4 @@ def grid_save(images: np.ndarray, targets, path: str, max_images: int = 16):
         r, c = divmod(i, cols)
         canvas[r * h:(r + 1) * h, c * w:(c + 1) * w] = img
     cv2.imwrite(path, cv2.cvtColor(canvas, cv2.COLOR_RGB2BGR))
-    return path
+    return canvas
