@@ -77,11 +77,30 @@ def _install_omegaconf_stub():
         torchvision = types.ModuleType("torchvision")
         tv_ops = types.ModuleType("torchvision.ops")
 
-        def _unavailable(*a, **k):
-            raise RuntimeError("torchvision stub")
+        def _torch_nms(boxes, scores, iou_threshold):
+            """Exact torchvision.ops.nms semantics (greedy by score,
+            suppress IoU > threshold, kept indices in score order) so the
+            reference's full NMS path runs for pipeline-parity tests."""
+            import torch
 
-        tv_ops.nms = _unavailable
-        tv_ops.box_iou = _unavailable
+            order = torch.argsort(scores, descending=True, stable=True)
+            suppressed = torch.zeros(len(scores), dtype=torch.bool)
+            keep = []
+            areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+            for i in order.tolist():
+                if suppressed[i]:
+                    continue
+                keep.append(i)
+                lt = torch.max(boxes[i, :2], boxes[:, :2])
+                rb = torch.min(boxes[i, 2:], boxes[:, 2:])
+                wh = (rb - lt).clamp(min=0)
+                inter = wh[:, 0] * wh[:, 1]
+                iou = inter / (areas[i] + areas - inter)
+                suppressed |= iou > iou_threshold
+            return torch.as_tensor(keep, dtype=torch.long)
+
+        tv_ops.nms = _torch_nms
+        # box_iou is assigned the real implementation below
         tv_boxes = types.ModuleType("torchvision.ops.boxes")
 
         def _torch_box_iou(a, b):
