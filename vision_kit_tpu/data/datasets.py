@@ -63,9 +63,10 @@ class _ImageCacheMixin:
     handle is dropped on pickling and reopened lazily in the worker)."""
 
     def _init_img_cache(self, cache_images, cache_key: str, base_dir: str):
-        assert cache_images in (None, "", False, "ram", "disk"), (
-            f"cache_images must be None, 'ram' or 'disk', got {cache_images!r}"
-        )
+        if cache_images not in (None, "", False, "ram", "disk"):
+            raise ValueError(
+                f"cache_images must be None, 'ram' or 'disk', got {cache_images!r}"
+            )
         self.cache_images = cache_images or None
         self._ram_cache = None
         self._mm = None
@@ -216,7 +217,8 @@ class YOLODataset(_ImageCacheMixin):
                 for p in glob(os.path.join(data_dir, "*.*"))
                 if p.lower().endswith(IMG_EXTS)
             )
-        assert self.img_files, f"No images found under {data_dir}"
+        if not self.img_files:
+            raise FileNotFoundError(f"No images found under {data_dir}")
         self.labels = self._load_labels(cache)
         self._init_img_cache(
             cache_images, "\n".join(self.img_files), self.data_dir
@@ -347,7 +349,8 @@ class YOLODataset(_ImageCacheMixin):
 
     def load_image(self, idx: int):
         img = cv2.imread(self.img_files[idx])  # BGR
-        assert img is not None, f"image unreadable: {self.img_files[idx]}"
+        if img is None:
+            raise IOError(f"image unreadable: {self.img_files[idx]}")
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
     def load_anno(self, idx: int) -> np.ndarray:
@@ -422,7 +425,8 @@ class COCODataset(_ImageCacheMixin):
             if os.path.isabs(json_file)
             else os.path.join(data_dir, "annotations", json_file)
         )
-        assert os.path.exists(ann_path), f"annotation file missing: {ann_path}"
+        if not os.path.exists(ann_path):
+            raise FileNotFoundError(f"annotation file missing: {ann_path}")
         with open(ann_path) as f:
             coco = json.load(f)
 
@@ -488,7 +492,8 @@ class COCODataset(_ImageCacheMixin):
     def _decode_resized_py(self, idx: int):
         path = self._image_path(idx)
         img = cv2.imread(path)
-        assert img is not None, f"image unreadable: {path}"
+        if img is None:
+            raise IOError(f"image unreadable: {path}")
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         h0, w0 = img.shape[:2]
         r = min(self.input_dim[0] / h0, self.input_dim[1] / w0)
@@ -518,7 +523,8 @@ class ConcatDataset:
 
     def __init__(self, datasets):
         self.datasets = list(datasets)
-        assert self.datasets, "ConcatDataset needs at least one dataset"
+        if not self.datasets:
+            raise ValueError("ConcatDataset needs at least one dataset")
         self.cum = np.cumsum([len(d) for d in self.datasets]).tolist()
         self.input_dim = self.datasets[0].input_dim
 

@@ -61,7 +61,6 @@ class YoloLossOTA(YoloLoss):
         cand_gxy = []     # (B, Cl, 2) cell coords
         cand_anc = []     # (Cl, 2) grid-unit anchors
         cand_stride = []  # (Cl,)
-        cand_valid_anchor = []  # (B, M, na) anchor-ratio+offset masks folded below
         cands = []
         for i, pred in enumerate(preds):
             b, na, ny, nx, no = pred.shape
