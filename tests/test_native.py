@@ -149,3 +149,27 @@ def test_valloader_native_matches_python(tmp_path, monkeypatch):
         np.testing.assert_array_equal(a["targets"], b["targets"])
         assert a["info"] == b["info"]
         assert a["count"] == b["count"]
+
+
+def test_mosaic_native_matches_python(tmp_path, monkeypatch):
+    """Mosaic batches its 4 tile decodes through the native pool; output
+    must equal the per-image python path exactly."""
+    from vision_kit_tpu.data.datasets import YOLODataset
+    from vision_kit_tpu.data.mosaic import MosaicMixupDataset
+
+    rng0 = np.random.default_rng(4)
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    for i in range(6):
+        h, w = int(rng0.integers(60, 200)), int(rng0.integers(60, 200))
+        img = rng0.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        cv2.imwrite(str(tmp_path / "images" / f"{i}.png"), img)
+        (tmp_path / "labels" / f"{i}.txt").write_text("0 0.5 0.5 0.5 0.5")
+    ds = YOLODataset(str(tmp_path), img_size=(96, 96))
+    mds = MosaicMixupDataset(ds, img_size=(96, 96), enable_mosaic=True,
+                             mosaic_prob=1.0)
+    img_n, lab_n = mds.getitem(np.random.default_rng(7), 0)
+    monkeypatch.setenv("VK_NO_NATIVE", "1")
+    img_p, lab_p = mds.getitem(np.random.default_rng(7), 0)
+    np.testing.assert_array_equal(img_n, img_p)
+    np.testing.assert_array_equal(lab_n, lab_p)

@@ -98,8 +98,14 @@ class MosaicMixupDataset:
 
         canvas = np.full((input_h * 2, input_w * 2, 3), PAD_VALUE, np.uint8)
         all_labels = []
-        for i, index in enumerate(indices):
-            img, labels, _, _ = self.dataset.pull_item(index)
+        # one native thread-pool call decodes all four tiles in parallel
+        # when the dataset supports it (uncached data)
+        puller = getattr(self.dataset, "batch_pull_items", None)
+        items = (
+            puller(indices) if puller is not None
+            else [self.dataset.pull_item(i) for i in indices]
+        )
+        for i, (img, labels, _, _) in enumerate(items):
             h0, w0 = img.shape[:2]
             scale = min(input_h / h0, input_w / w0)
             img = cv2.resize(
