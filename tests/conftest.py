@@ -38,7 +38,18 @@ except Exception:
 
 # Persistent compilation cache: the full-model jit compiles dominate test
 # time on the single-CPU host; cache them across pytest runs.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# key the cache by host CPU identity: serialized XLA:CPU executables from a
+# previous machine incarnation load with mismatched feature sets ("Loading
+# XLA:CPU AOT result ... could lead to execution errors such as SIGILL")
+import hashlib as _hashlib
+import platform as _platform
+
+_machine_tag = _hashlib.md5(
+    (_platform.machine() + _platform.release()).encode()
+).hexdigest()[:8]
+jax.config.update(
+    "jax_compilation_cache_dir", f"/root/repo/.jax_cache/{_machine_tag}"
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_ROOT = "/root/reference"

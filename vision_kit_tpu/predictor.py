@@ -54,7 +54,11 @@ class Predictor:
         (>= 2 rows per shard on the stride-32 map, train/step.py). With
         spatial=True, single-image calls also run on the mesh."""
         self.model = model
-        self.variables = variables
+        # host-resident weights: jit closures embed them as numpy constants
+        # at lowering, which never awaits an async device computation (a
+        # device-array constant forces a `_value` host copy mid-lowering —
+        # a stall point when init/load was dispatched asynchronously)
+        self.variables = jax.device_get(variables)
         self.mesh = mesh
         self.spatial = spatial
         self.img_size = (

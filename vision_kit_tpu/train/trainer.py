@@ -86,6 +86,9 @@ class Trainer:
             jnp.zeros((1, *self.img_size, 3)),
             training=False,
         )
+        # sync init to host immediately: downstream jit lowerings must not
+        # await an async device computation (stall point on flaky backends)
+        variables = jax.device_get(variables)
         weight = getattr(cfg.model, "weight", None)
         if weight and os.path.exists(str(weight)):
             from vision_kit_tpu.predictor import load_weights
