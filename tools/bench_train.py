@@ -1,4 +1,10 @@
-"""Training-step throughput on the real chip (YOLOv5s@640, synthetic batch).
+"""Training-step throughput on the real chip (synthetic batch).
+
+    python tools/bench_train.py [batch] [bf16] [v7] [ota]
+
+Default YOLOv5s@640 + YoloLoss; `v7` switches to YOLOv7-base, `ota` to the
+SimOTA loss (v7 only) — the pair measures the OTA assignment overhead incl.
+its anchor-major entry transpose (VERDICT.md round-1 weak #6).
 
 Uses the device-readback completion barrier (block_until_ready is a no-op
 over the axon tunnel)."""
@@ -16,7 +22,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from vision_kit_tpu.models import YOLOV5
+    from vision_kit_tpu.models import YOLOV5, YOLOV7
     from vision_kit_tpu.train.losses import YoloLoss
     from vision_kit_tpu.train.optim import make_optimizer
     from vision_kit_tpu.train.step import create_train_state, make_train_step
@@ -30,12 +36,25 @@ def main():
     batch = next((int(a) for a in sys.argv[1:] if a.isdigit()), 32)
     size = 640
     dtype = jnp.bfloat16 if "bf16" in sys.argv[1:] else jnp.float32
-    model = YOLOV5(variant="s", num_classes=80, dtype=dtype)
+    use_v7 = "v7" in sys.argv[1:] or "ota" in sys.argv[1:]
+    use_ota = "ota" in sys.argv[1:]
+    if use_v7:
+        model = YOLOV7(variant="base", num_classes=80, dtype=dtype)
+        name = "yolov7b"
+    else:
+        model = YOLOV5(variant="s", num_classes=80, dtype=dtype)
+        name = "yolov5s"
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), training=False
     )
     tx = make_optimizer(variables["params"], hyp, 300, 1000)
-    loss = YoloLoss(80, model.grid_anchors, hyp)
+    if use_ota:
+        from vision_kit_tpu.train.ota import YoloLossOTA
+
+        loss = YoloLossOTA(80, model.grid_anchors, hyp, layout="native")
+        name += "+ota"
+    else:
+        loss = YoloLoss(80, model.grid_anchors, hyp)
     state = create_train_state(model, variables, tx)
     step = make_train_step(model, loss, tx, donate=False)
 
@@ -59,7 +78,7 @@ def main():
         state, metrics = step(state, data)
     _ = float(metrics["loss"])  # chained via state -> full completion
     dt = time.perf_counter() - t0
-    print(f"train yolov5s@{size} b{batch}: {dt/iters*1e3:.1f} ms/step, "
+    print(f"train {name}@{size} b{batch}: {dt/iters*1e3:.1f} ms/step, "
           f"{batch*iters/dt:.1f} img/s")
 
 
