@@ -93,6 +93,37 @@ def test_ota_training_reduces_loss(rng):
     assert losses[-1] < losses[0]
 
 
+def test_ota_native_layout_parity(rng):
+    """Native (B,ny,nx,na,no) maps through the layout-aware linear index
+    must produce bit-identical losses to the anchor-major path (the head's
+    training maps are native by default; OTA must not need a transpose)."""
+    anchors = normalized_anchors(V7_ANCHORS, STRIDES)
+    loss_am = YoloLossOTA(NC, anchors, HYP, strides=STRIDES,
+                          layout="anchor_major")
+    loss_nat = YoloLossOTA(NC, anchors, HYP, strides=STRIDES,
+                           layout="native")
+    preds = make_preds(rng, 2)                       # anchor-major
+    preds_nat = [p.transpose(0, 2, 3, 1, 4) for p in preds]
+    targets = np.full((2, 8, 5), -1, np.float32)
+    targets[0, 0] = [2, 0.5, 0.5, 0.3, 0.4]
+    targets[0, 1] = [5, 0.2, 0.3, 0.15, 0.1]
+    targets[1, 0] = [0, 0.7, 0.6, 0.5, 0.5]
+    targets = jnp.asarray(targets)
+
+    t_am, p_am = loss_am(preds, targets)
+    t_nat, p_nat = loss_nat(preds_nat, targets)
+    np.testing.assert_allclose(float(t_am), float(t_nat), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_am), np.asarray(p_nat),
+                               rtol=1e-6)
+
+    g_am = jax.grad(lambda ps: loss_am(ps, targets)[0])(preds)
+    g_nat = jax.grad(lambda ps: loss_nat(ps, targets)[0])(preds_nat)
+    for ga, gn in zip(g_am, g_nat):
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gn).transpose(0, 3, 1, 2, 4),
+            rtol=1e-5, atol=1e-6)
+
+
 def test_ota_each_candidate_single_gt(rng):
     """Internals: after conflict resolution no candidate serves two gts."""
     loss = make_loss()

@@ -43,15 +43,12 @@ class YoloLossOTA(YoloLoss):
         self.top_k = top_k
 
     def __call__(self, preds, targets):
-        # OTA's internals are written for the reference's anchor-major maps;
-        # accept the head's native (B, ny, nx, na, no) layout by transposing
-        # at entry (same cost the head used to pay — OTA's own dynamic-k
-        # machinery dominates its runtime anyway).
-        preds = [
-            p.transpose(0, 3, 1, 2, 4)
-            if self._resolve_layout(p) == "native" else p
-            for p in preds
-        ]
+        # Consumes the head's native (B, ny, nx, na, no) training maps
+        # directly (same dual-layout linear-index trick as
+        # losses.YoloLoss._level_loss): OTA only ever touches the raw map
+        # through flat gathers/scatters, so the layout decides the index
+        # formula, not the math — no anchor-major transpose (nor its three
+        # backward copies) is paid.
         bs = preds[0].shape[0]
         nc = self.num_classes
 
@@ -63,15 +60,25 @@ class YoloLossOTA(YoloLoss):
         cand_stride = []  # (Cl,)
         cands = []
         for i, pred in enumerate(preds):
-            b, na, ny, nx, no = pred.shape
+            layout = self._resolve_layout(pred)
+            if layout == "native":
+                b, ny, nx, na, no = pred.shape
+            else:
+                b, na, ny, nx, no = pred.shape
             anchors = jnp.asarray(self.anchors[i])
             c = self._candidates(targets, anchors, ny, nx)
             m = c["valid"].shape[1]
             cl = m * na * 5
-            lin = (
-                (jnp.arange(b)[:, None, None, None] * na
-                 + jnp.arange(na)[None, None, :, None]) * ny + c["gj"]
-            ) * nx + c["gi"]
+            batch_idx = jnp.arange(b)[:, None, None, None]
+            anchor_idx = jnp.arange(na)[None, None, :, None]
+            if layout == "native":
+                lin = (
+                    (batch_idx * ny + c["gj"]) * nx + c["gi"]
+                ) * na + anchor_idx
+            else:
+                lin = (
+                    (batch_idx * na + anchor_idx) * ny + c["gj"]
+                ) * nx + c["gi"]
             pred_flat = pred.reshape(b * na * ny * nx, no)
             feats = jnp.take(pred_flat, lin.reshape(b, cl), axis=0)  # (B,Cl,no)
             gxy = jnp.stack([c["gi"], c["gj"]], axis=-1).reshape(b, cl, 2)
@@ -92,8 +99,8 @@ class YoloLossOTA(YoloLoss):
         valid_c = jnp.concatenate(cands, axis=1)         # (B, C)
 
         img_hw = jnp.array(
-            [preds[0].shape[3] * self.strides[0],
-             preds[0].shape[2] * self.strides[0]], jnp.float32)  # (w, h)
+            [level_meta[0]["nx"] * self.strides[0],
+             level_meta[0]["ny"] * self.strides[0]], jnp.float32)  # (w, h)
 
         # ---- per-image SimOTA assignment (vmapped) ----
         def assign(feats_i, gxy_i, valid_i, targets_i):
