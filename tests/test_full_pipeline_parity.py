@@ -1,6 +1,7 @@
 """Full-pipeline mAP differential: (repo model -> repo NMS -> repo
 evaluator) vs (same weights via the converter -> reference torch model ->
-reference nms -> reference DetEvaluator) over a hundred synthetic images.
+reference nms -> reference DetEvaluator) over on the order of a hundred
+synthetic images, for BOTH model families.
 
 This is the standing stand-in for the missing pretrained-weights full-COCO
 parity run (SURVEY.md:6-7): both pipelines consume identical weights and
@@ -21,41 +22,33 @@ import jax
 import jax.numpy as jnp
 
 from vision_kit_tpu.convert import torch_to_flax
-from vision_kit_tpu.models import YOLOV5
+from vision_kit_tpu.models import YOLOV5, YOLOV7
 from vision_kit_tpu.ops.nms import postprocess
 from vision_kit_tpu.train.evaluator import DetEvaluator
 
 IMG = 96
 NC = 2
-N_IMAGES = 100
 BATCH = 25
 CONF, IOU = 0.001, 0.6
 MAX_DET = 300
 CLASSES = ["a", "b"]
 
 
-def _models(reference):
-    from conftest import reset_reference_defaults
-    from vision_kit.models.architectures.yolov5 import YOLOV5 as RefV5
-
-    reset_reference_defaults()
-    torch_model = RefV5(variant="n", num_classes=NC)
-    reset_reference_defaults()
+def _convert(torch_model, jax_model):
     torch_model.eval()
-    jax_model = YOLOV5(variant="n", num_classes=NC)
     variables = jax_model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3)), training=False
     )
-    converted = torch_to_flax(torch_model.state_dict(), template=variables)
-    return torch_model, jax_model, converted
+    return torch_to_flax(torch_model.state_dict(), template=variables)
 
 
-def test_full_pipeline_map_parity(reference):
+def _differential(torch_model, jax_model, variables, n_images):
+    """Run both full pipelines on the same images/weights; return
+    (repo summarize dict, ref mAP@.5, ref mAP@.5:.95)."""
     import torch
 
-    torch_model, jax_model, variables = _models(reference)
     rng = np.random.default_rng(0)
-    images = rng.integers(0, 255, (N_IMAGES, IMG, IMG, 3), dtype=np.uint8)
+    images = rng.integers(0, 255, (n_images, IMG, IMG, 3), dtype=np.uint8)
     x_all = images.astype(np.float32) / 255.0
 
     @jax.jit
@@ -70,7 +63,7 @@ def test_full_pipeline_map_parity(reference):
     repo_eval = DetEvaluator(CLASSES, (IMG, IMG))
     all_dets, all_valid = [], []
     gts = []  # per image (g, 5) [cls, cxn, cyn, wn, hn]
-    for s in range(0, N_IMAGES, BATCH):
+    for s in range(0, n_images, BATCH):
         dets, valid = repo_step(jnp.asarray(x_all[s:s + BATCH]))
         dets, valid = np.asarray(dets), np.asarray(valid)
         all_dets.append(dets)
@@ -101,7 +94,7 @@ def test_full_pipeline_map_parity(reference):
             gts.append(np.asarray(rows, np.float32))
 
     max_labels = max(len(g) for g in gts)
-    for s in range(0, N_IMAGES, BATCH):
+    for s in range(0, n_images, BATCH):
         bi = s // BATCH
         targets = np.full((BATCH, max_labels, 5), -1, np.float32)
         for k in range(BATCH):
@@ -116,7 +109,7 @@ def test_full_pipeline_map_parity(reference):
     from vision_kit.utils.image_proc import nms as ref_nms
 
     ref_eval = RefEval(CLASSES, (IMG, IMG))
-    for s in range(0, N_IMAGES, BATCH):
+    for s in range(0, n_images, BATCH):
         xb = torch.from_numpy(
             x_all[s:s + BATCH].transpose(0, 3, 1, 2)
         ).float()
@@ -135,8 +128,36 @@ def test_full_pipeline_map_parity(reference):
             idxs=list(range(s, s + BATCH)), preds=preds, targets=targets,
         )
     ref_map50, ref_map95, _, _ = ref_eval.summarize()
+    return repo_res, float(ref_map50), float(ref_map95)
 
+
+def _assert_agreement(repo_res, ref_map50, ref_map95):
     # both sides produced meaningful mid-range curves, and they agree
     assert 0.02 < repo_res["map50_95"] < 0.95
-    assert repo_res["map50"] == pytest.approx(float(ref_map50), abs=1e-3)
-    assert repo_res["map50_95"] == pytest.approx(float(ref_map95), abs=1e-3)
+    assert repo_res["map50"] == pytest.approx(ref_map50, abs=1e-3)
+    assert repo_res["map50_95"] == pytest.approx(ref_map95, abs=1e-3)
+
+
+def test_full_pipeline_map_parity(reference):
+    from conftest import reset_reference_defaults
+    from vision_kit.models.architectures.yolov5 import YOLOV5 as RefV5
+
+    reset_reference_defaults()
+    torch_model = RefV5(variant="n", num_classes=NC)
+    reset_reference_defaults()
+    jax_model = YOLOV5(variant="n", num_classes=NC)
+    variables = _convert(torch_model, jax_model)
+    _assert_agreement(*_differential(torch_model, jax_model, variables, 100))
+
+
+def test_full_pipeline_map_parity_v7(reference):
+    """Same end-to-end differential through the second model family
+    (ELAN backbone, SPPCSPC neck, Implicit head — reference
+    models/architectures/yolov7.py). Fewer images: v7-base is ~10x v5n
+    FLOPs and both pipelines run on one CPU core."""
+    from vision_kit.models.architectures.yolov7 import YOLOV7 as RefV7
+
+    torch_model = RefV7(variant="base", num_classes=NC, deploy=False)
+    jax_model = YOLOV7(variant="base", num_classes=NC, deploy=False)
+    variables = _convert(torch_model, jax_model)
+    _assert_agreement(*_differential(torch_model, jax_model, variables, 50))
