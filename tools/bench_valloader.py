@@ -32,15 +32,22 @@ def build_dataset(root, n, hw):
 
 
 def run(ds, batch, size, prefetch):
+    """Median per-batch rate: the host stalls intermittently (multi-second
+    page-fault storms, see DESIGN.md "Host allocation behavior"), so
+    wall-clock totals over a handful of batches are noise-dominated —
+    the median batch gap is the robust stat."""
     from vision_kit_tpu.data.loader import ValLoader
 
     loader = ValLoader(ds, batch, img_size=(size, size), prefetch=prefetch)
-    n = 0
-    t0 = time.perf_counter()
+    for b in loader:  # warm pass: heap growth, native pool spin-up
+        pass
+    gaps = []
+    t_last = time.perf_counter()
     for b in loader:
-        n += b["count"]
-    dt = time.perf_counter() - t0
-    return n / dt
+        now = time.perf_counter()
+        gaps.append(now - t_last)
+        t_last = now
+    return batch / float(np.median(gaps))
 
 
 def main():

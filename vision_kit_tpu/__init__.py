@@ -8,4 +8,8 @@ under pjit over a device mesh, and train/eval/export/demo entry points with
 YAML configs compatible with the reference.
 """
 
+from vision_kit_tpu._malloc import tune_for_batch_buffers as _tune_malloc
+
+_tune_malloc()  # see _malloc.py: batch-sized allocs must reuse the arena
+
 __version__ = "0.1.0"
