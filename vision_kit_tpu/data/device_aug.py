@@ -1,0 +1,487 @@
+"""Device-side train augmentation: mosaic + affine + mixup + HSV + flips
+as one jitted XLA program.
+
+Why: the reference runs mosaic/affine/HSV in DataLoader workers
+(vision_kit/data/mosiac_dataset.py:55-254, augmentations.py:95-184) — a
+host hot loop. On a TPU host with few cores the loader cannot feed the
+device (measured: ~100 img/s host augmentation vs ~600 img/s device train
+step on this box). The TPU-native answer is to move the *pixel* work into
+the train step itself, where it is bandwidth-cheap next to the convs, and
+leave the host with decode + RNG decisions + label math (microseconds per
+batch of <=640 boxes).
+
+Split of responsibilities:
+  host  (`DeviceAugPlanner`): picks mosaic/mixup participation, tile
+        indices, all random geometry/color parameters, and computes the
+        exact final label set in numpy — the same arithmetic as the host
+        pipeline (data/mosaic.py, data/augment.py).
+  device (`warp_augment`): a pure function of (tiles, tile_hw, params) ->
+        normalized float batch. No RNG on device; every sample is fully
+        determined by its host-sampled parameter row.
+
+Geometry model (valid because the v5/v7 configs use degrees=0, shear=0 —
+the planner refuses otherwise and the loader falls back to the host
+pipeline): the mosaic paste (mosiac_dataset.py:112-175) and the closing
+random_affine collapse into one scale+translate map from output pixels to
+the *conceptual* 2Sx2S canvas; each bilinear tap lands on an integer
+canvas point, which resolves to (quadrant tile, in-tile offset) exactly
+like the reference's `get_mosaic_coordinate` crop arithmetic
+(mosiac_dataset.py:256-275) — the canvas is never materialized, and taps
+of one output pixel may straddle tile seams just as the materialized
+canvas allows. MixUp (mosiac_dataset.py:177-254) is a second scale+crop
+sampling of a 5th tile blended at weight 0.5. HSV replicates the uint8
+LUT semantics (augmentations.py:88-99) in float; flips are reversed-axis
+selects. Plain (non-mosaic) samples ride the same kernel with degenerate
+parameters (center xc=2W, yc=2H puts every pixel in quadrant 0; scale 1,
+zero translate makes every tap integer -> exact center-pad).
+
+Intentional deviations from the host path (all distribution-level, none
+affecting label math): the reference's second ~1.0x rescale of
+already-resized mosaic tiles (scale = min(S/h, S/w) of a tile whose long
+side is already S, off by <0.2% from int truncation) is folded to exactly
+1; the p=0.01 pixel augs (blur/median/gray/CLAHE) are host-only and not
+applied in device mode; HSV/bilinear use float arithmetic instead of
+OpenCV's uint8 LUTs / 5-bit fixed-point taps (<=1-2 LSB differences).
+
+Buffer contract (see the planner): tile slots are only read inside their
+valid (h, w) region except slot 4 (mixup), whose full (H, W) extent is
+sampled with edge-clamp — the planner zero-fills slot 4's margin to
+reproduce the reference's zero pad. Other slots may hold stale bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+PAD_VALUE = 114.0
+
+# params row layout (float32); one row per sample
+P_XC = 0         # mosaic center x (int-valued; 2W => "all quadrant 0")
+P_YC = 1         # mosaic center y
+P_SCALE = 2      # affine scale about the origin
+P_TX = 3         # affine translate x (pixels)
+P_TY = 4         # affine translate y
+P_FLIP_LR = 5    # 0/1
+P_FLIP_UD = 6    # 0/1
+P_HSV_H = 7      # hue gain r0 (all three 1 => skip, bit-exact passthrough)
+P_HSV_S = 8      # sat gain r1
+P_HSV_V = 9      # val gain r2
+P_MIX_W = 10     # mixup blend weight (0 = off; reference uses 0.5)
+P_MIX_JIT = 11   # mixup jit scale
+P_MIX_XOFF = 12  # mixup crop offset x (int-valued)
+P_MIX_YOFF = 13  # mixup crop offset y
+P_MIX_FLIP = 14  # mixup lr flip 0/1
+N_PARAMS = 16    # padded
+
+N_TILES = 5      # 4 mosaic quadrants + 1 mixup source
+
+
+def _per_quadrant(table, q):
+    """table (B, 4) -> value at q; q (B, H, W) int32 in [0, 4)."""
+    b = table.shape[0]
+    return jnp.take_along_axis(table, q.reshape(b, -1), axis=1).reshape(q.shape)
+
+
+def _mosaic_tap(tiles_flat, xc, yc, padw, padh, tile_w, tile_h, xi, yi, H, W):
+    """Conceptual-canvas value at integer coords; off-canvas/off-tile -> 114.
+
+    tiles_flat (B, N_TILES*H*W, 3) uint8; xi/yi (B, H, W) int32;
+    xc/yc (B, 1, 1); padw/padh/tile_w/tile_h (B, 4). Returns (B,H,W,3) f32.
+    """
+    inb = (xi >= 0) & (xi < 2 * W) & (yi >= 0) & (yi < 2 * H)
+    q = (xi >= xc).astype(jnp.int32) + 2 * (yi >= yc).astype(jnp.int32)
+    xt = xi - _per_quadrant(padw, q)
+    yt = yi - _per_quadrant(padh, q)
+    ok = (
+        inb
+        & (xt >= 0) & (xt < _per_quadrant(tile_w, q))
+        & (yt >= 0) & (yt < _per_quadrant(tile_h, q))
+    )
+    lin = (q * H + yt.clip(0, H - 1)) * W + xt.clip(0, W - 1)
+    b = tiles_flat.shape[0]
+    g = jnp.take_along_axis(
+        tiles_flat, lin.reshape(b, -1, 1), axis=1
+    ).reshape(*lin.shape, 3)
+    return jnp.where(ok[..., None], g.astype(jnp.float32), PAD_VALUE)
+
+
+def _mixup_tap(tiles_flat, xi, yi, H, W):
+    """Slot-4 value with edge clamp (replicate border, like cv2.resize);
+    the zero-filled margin supplies the reference's zero pad."""
+    lin = (4 * H + yi.clip(0, H - 1)) * W + xi.clip(0, W - 1)
+    b = tiles_flat.shape[0]
+    g = jnp.take_along_axis(
+        tiles_flat, lin.reshape(b, -1, 1), axis=1
+    ).reshape(*lin.shape, 3)
+    return g.astype(jnp.float32)
+
+
+def _bilerp(tap, x_src, y_src):
+    """Generic separable bilinear: tap(xi (B,H,W) i32, yi) -> (B,H,W,3);
+    x_src (B, W) f32, y_src (B, H) f32 source coordinates."""
+    x0f = jnp.floor(x_src)
+    y0f = jnp.floor(y_src)
+    fx = (x_src - x0f)[:, None, :, None]
+    fy = (y_src - y0f)[:, :, None, None]
+    x0 = x0f.astype(jnp.int32)[:, None, :]
+    y0 = y0f.astype(jnp.int32)[:, :, None]
+    H, W = y_src.shape[1], x_src.shape[1]
+    x0 = jnp.broadcast_to(x0, (x_src.shape[0], H, W))
+    y0 = jnp.broadcast_to(y0, (x_src.shape[0], H, W))
+    v00 = tap(x0, y0)
+    v10 = tap(x0 + 1, y0)
+    v01 = tap(x0, y0 + 1)
+    v11 = tap(x0 + 1, y0 + 1)
+    top = v00 * (1.0 - fx) + v10 * fx
+    bot = v01 * (1.0 - fx) + v11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def _hsv_jitter(img, r0, r1, r2):
+    """cv2/ultralytics HSV gain jitter in float (augmentations.py:88-99):
+    hue scaled mod 180 (cv2's uint8 hue scale), sat/val scaled+clipped.
+    img (B,H,W,3) f32 in [0,255]; r* (B,) gains."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    v = jnp.maximum(jnp.maximum(r, g), b)
+    c = v - jnp.minimum(jnp.minimum(r, g), b)
+    safe_c = jnp.where(c > 0, c, 1.0)
+    # cv2 precedence: v==r first, then v==g, else b
+    h = jnp.where(
+        (v == r) & (c > 0), 60.0 * (g - b) / safe_c,
+        jnp.where(
+            (v == g) & (c > 0), 60.0 * (b - r) / safe_c + 120.0,
+            jnp.where(c > 0, 60.0 * (r - g) / safe_c + 240.0, 0.0),
+        ),
+    )
+    h = jnp.mod(h, 360.0) * 0.5  # cv2 uint8 hue scale [0, 180)
+    h2 = jnp.mod(h * r0[:, None, None], 180.0) * 2.0
+    s2 = jnp.clip(255.0 * c / jnp.where(v > 0, v, 1.0) * r1[:, None, None],
+                  0.0, 255.0) / 255.0
+    v2 = jnp.clip(v * r2[:, None, None], 0.0, 255.0)
+    hi = jnp.floor(h2 / 60.0).astype(jnp.int32) % 6
+    f = h2 / 60.0 - jnp.floor(h2 / 60.0)
+    p = v2 * (1.0 - s2)
+    q = v2 * (1.0 - f * s2)
+    t = v2 * (1.0 - (1.0 - f) * s2)
+    # sector table: 0:(v,t,p) 1:(q,v,p) 2:(p,v,t) 3:(p,q,v) 4:(t,p,v)
+    # 5:(v,p,q) — sector 5 is the select default
+    r_ = jnp.select([hi == 0, hi == 1, hi == 2, hi == 3, hi == 4],
+                    [v2, q, p, p, t], v2)
+    g_ = jnp.select([hi == 0, hi == 1, hi == 2, hi == 3, hi == 4],
+                    [t, v2, v2, q, p], p)
+    b_ = jnp.select([hi == 0, hi == 1, hi == 2, hi == 3, hi == 4],
+                    [p, p, t, v2, v2], q)
+    return jnp.stack([r_, g_, b_], axis=-1)
+
+
+def warp_augment(tiles, tile_hw, params):
+    """The device augmentation program.
+
+    tiles (B, N_TILES, H, W, 3) uint8; tile_hw (B, N_TILES, 2) int32
+    [h, w] valid extents; params (B, N_PARAMS) float32 (layout above).
+    Returns (B, H, W, 3) float32 in [0, 1] — feed the model directly
+    (normalized-float contract of models/layers.ConvBnAct).
+    """
+    B, _, H, W, _ = tiles.shape
+    tiles_flat = tiles.reshape(B, N_TILES * H * W, 3)
+    p = params.astype(jnp.float32)
+
+    xc1 = p[:, P_XC].astype(jnp.int32)
+    yc1 = p[:, P_YC].astype(jnp.int32)
+    xc = xc1[:, None, None]
+    yc = yc1[:, None, None]
+    th4 = tile_hw[:, :4, 0]
+    tw4 = tile_hw[:, :4, 1]
+    # paste offsets per quadrant (canvas coord - tile coord); the
+    # reference's get_mosaic_coordinate collapses to exactly these
+    padw = jnp.stack(
+        [xc1 - tw4[:, 0], xc1, xc1 - tw4[:, 2], xc1], axis=1)
+    padh = jnp.stack(
+        [yc1 - th4[:, 0], yc1 - th4[:, 1], yc1, yc1], axis=1)
+
+    s = p[:, P_SCALE]
+    xo = jnp.arange(W, dtype=jnp.float32)
+    yo = jnp.arange(H, dtype=jnp.float32)
+    x_src = (xo[None, :] - p[:, P_TX, None]) / s[:, None]  # (B, W)
+    y_src = (yo[None, :] - p[:, P_TY, None]) / s[:, None]  # (B, H)
+
+    def mtap(xi, yi):
+        return _mosaic_tap(tiles_flat, xc, yc, padw, padh, tw4, th4,
+                           xi, yi, H, W)
+
+    out = _bilerp(mtap, x_src, y_src)  # (B, H, W, 3) f32 [0,255]
+
+    # ---- mixup (reference mosiac_dataset.py:177-254); weight 0 per
+    # sample disables (XLA still computes it — one extra tap set) --------
+    jit_s = p[:, P_MIX_JIT]
+    jit_safe = jnp.where(jit_s > 0, jit_s, 1.0)
+    ow = jnp.floor(W * jit_safe)  # int(W*jit): resized width
+    oh = jnp.floor(H * jit_safe)
+    xr = xo[None, :] + p[:, P_MIX_XOFF, None]  # (B, W)
+    yr = yo[None, :] + p[:, P_MIX_YOFF, None]  # (B, H)
+    flip = p[:, P_MIX_FLIP, None] > 0.5
+    xf = jnp.where(flip, (ow[:, None] - 1.0) - xr, xr)
+    # cv2.resize half-pixel convention, with the ACTUAL dst/src ratio
+    # (ow = int(W*jit) truncates, so the effective scale is ow/W, not jit)
+    xs = (xf + 0.5) * (W / jnp.maximum(ow[:, None], 1.0)) - 0.5
+    ys = (yr + 0.5) * (H / jnp.maximum(oh[:, None], 1.0)) - 0.5
+
+    def xtap(xi, yi):
+        return _mixup_tap(tiles_flat, xi, yi, H, W)
+
+    mix = _bilerp(xtap, xs, ys)
+    # beyond the resized extent the reference's zero pad shows through
+    ok = ((xr >= 0) & (xr < ow[:, None]))[:, None, :] \
+        & ((yr >= 0) & (yr < oh[:, None]))[:, :, None]
+    mix = jnp.where(ok[..., None], mix, 0.0)
+    mixw = p[:, P_MIX_W][:, None, None, None]
+    out = out * (1.0 - mixw) + mix * mixw
+
+    # ---- HSV (exact passthrough when all gains are 1) -------------------
+    r0, r1, r2 = p[:, P_HSV_H], p[:, P_HSV_S], p[:, P_HSV_V]
+    do_hsv = ((r0 != 1.0) | (r1 != 1.0) | (r2 != 1.0))[:, None, None, None]
+    out = jnp.where(do_hsv, _hsv_jitter(out, r0, r1, r2), out)
+
+    # ---- flips ----------------------------------------------------------
+    out = jnp.where(p[:, P_FLIP_LR, None, None, None] > 0.5,
+                    out[:, :, ::-1, :], out)
+    out = jnp.where(p[:, P_FLIP_UD, None, None, None] > 0.5,
+                    out[:, ::-1, :, :], out)
+
+    return out * (1.0 / 255.0)
+
+
+# ======================================================================
+# Host-side planner
+# ======================================================================
+
+
+def _label_count(dataset, idx: int) -> int:
+    """Number of raw labels WITHOUT decoding the image (the reference's
+    mixup retry calls load_anno, which decodes; we consult the label
+    cache/annotation table instead)."""
+    labs = getattr(dataset, "labels", None)  # YOLODataset cache rows
+    if labs is not None:
+        return len(labs[idx])
+    annos = getattr(dataset, "annotations", None)  # COCODataset table
+    if annos is not None:
+        return len(annos[idx][0])
+    return len(dataset.load_anno(idx))
+
+
+class DeviceAugPlanner:
+    """Host half of the device augmentation: RNG decisions + label math.
+
+    plan(rng, idx) -> (tile_idxs, draws); after the loader batch-decodes
+    every tile, finalize(draws, items) -> (params_row, tile_hw_row,
+    labels, tile_imgs) with labels in the final SxS frame (abs xyxy+cls),
+    identical arithmetic to the host pipeline (data/mosaic.py +
+    data/augment.py) for the degrees=0/shear=0 regime.
+
+    The per-sample RNG draw ORDER is fixed by this class (documented in
+    plan/finalize) — it intentionally differs from the host pipeline's
+    (this is a distinct augmentation mode; reproducibility is per-seed
+    within the mode)."""
+
+    def __init__(self, dataset, img_size=(640, 640), enable_mosaic=True,
+                 enable_mixup=False, mosaic_prob=1.0, mixup_prob=1.0,
+                 degrees=0.0, translate=0.1, mosaic_scale=(0.5, 1.5),
+                 mixup_scale=(0.5, 1.5), shear=0.0, flip_lr_prob=0.5,
+                 flip_ud_prob=0.0, hsv_prob=1.0,
+                 hsv_gains=(0.015, 0.7, 0.4), no_aug=False):
+        if degrees or shear:
+            raise ValueError(
+                "device augmentation supports degrees=0, shear=0 only "
+                "(rotation/shear make the warp non-separable); use the "
+                "host pipeline for rotated affines"
+            )
+        self.dataset = dataset
+        self.input_dim = (
+            (img_size, img_size) if isinstance(img_size, int)
+            else tuple(img_size)
+        )
+        self.enable_mosaic = enable_mosaic and not no_aug
+        self.enable_mixup = enable_mixup and not no_aug
+        self.mosaic_prob = mosaic_prob
+        self.mixup_prob = mixup_prob
+        self.translate = translate
+        self.mosaic_scale = tuple(mosaic_scale)
+        self.mixup_scale = tuple(mixup_scale)
+        self.flip_lr_prob = 0.0 if no_aug else flip_lr_prob
+        self.flip_ud_prob = 0.0 if no_aug else flip_ud_prob
+        self.hsv_prob = 0.0 if no_aug else hsv_prob
+        self.hsv_gains = tuple(hsv_gains)
+
+    # -- phase A: decisions that precede decode ---------------------------
+    def plan(self, rng: np.random.Generator, idx: int):
+        """Draw order: mosaic gate, (yc, xc, 3 extra indices), affine
+        (scale, tx, ty), mixup gate + retry indices + (jit, flip).
+        Returns (tile_idxs to decode, draws dict)."""
+        H, W = self.input_dim
+        draws: dict = {"idx": idx}
+        mosaic = (
+            self.enable_mosaic and rng.random() < self.mosaic_prob
+        )
+        draws["mosaic"] = mosaic
+        if mosaic:
+            draws["yc"] = int(rng.uniform(0.5 * H, 1.5 * H))
+            draws["xc"] = int(rng.uniform(0.5 * W, 1.5 * W))
+            tile_idxs = [idx] + [
+                int(rng.integers(0, len(self.dataset))) for _ in range(3)
+            ]
+            draws["scale"] = float(rng.uniform(*self.mosaic_scale))
+            draws["tx"] = float(rng.uniform(-self.translate, self.translate) * W)
+            draws["ty"] = float(rng.uniform(-self.translate, self.translate) * H)
+            if self.enable_mixup and rng.random() < self.mixup_prob:
+                # reference retries up to 30x for a labeled sample
+                # (mosiac_dataset.py:158-162); label counts come from the
+                # cache, no decode
+                cp = -1
+                for _ in range(30):
+                    cand = int(rng.integers(0, len(self.dataset)))
+                    if _label_count(self.dataset, cand):
+                        cp = cand
+                        break
+                if cp >= 0:
+                    draws["mix_idx"] = cp
+                    draws["mix_jit"] = float(rng.uniform(*self.mixup_scale))
+                    draws["mix_flip"] = bool(rng.random() > 0.5)
+                    tile_idxs = tile_idxs + [cp]
+        else:
+            tile_idxs = [idx]
+        # color/flip draws are position-independent; draw now so the
+        # stream is identical whether or not decode reorders work
+        if rng.random() < self.hsv_prob:
+            g = self.hsv_gains
+            draws["hsv"] = tuple(
+                float(v) for v in rng.uniform(-1, 1, 3) * g + 1
+            )
+        else:
+            draws["hsv"] = (1.0, 1.0, 1.0)
+        draws["flip_lr"] = rng.random() < self.flip_lr_prob
+        draws["flip_ud"] = rng.random() < self.flip_ud_prob
+        draws["_rng"] = rng  # mixup crop offsets need post-decode draws
+        return tile_idxs, draws
+
+    # -- phase C: geometry + labels once tiles are decoded ----------------
+    def finalize(self, draws: dict, items):
+        """items: list of (img, labels_resized_xyxy, hw0, id) matching the
+        tile_idxs from plan(). Returns (params (N_PARAMS,) f32, tile_hw
+        (N_TILES, 2) i32, labels (n, 5) abs xyxy+cls in the final frame,
+        tile_imgs list aligned to slots)."""
+        H, W = self.input_dim
+        params = np.zeros(N_PARAMS, np.float32)
+        tile_hw = np.zeros((N_TILES, 2), np.int32)
+        params[P_SCALE] = 1.0
+        params[P_MIX_JIT] = 1.0
+        tile_imgs: list = [None] * N_TILES
+
+        if draws["mosaic"]:
+            xc, yc = draws["xc"], draws["yc"]
+            s = draws["scale"]
+            tx, ty = draws["tx"], draws["ty"]
+            params[P_XC], params[P_YC] = xc, yc
+            params[P_SCALE], params[P_TX], params[P_TY] = s, tx, ty
+            all_labels = []
+            for t in range(4):
+                img, lab, _, _ = items[t]
+                h, w = img.shape[:2]
+                tile_imgs[t] = img
+                tile_hw[t] = (h, w)
+                padw = (xc - w) if t in (0, 2) else xc
+                padh = (yc - h) if t in (0, 1) else yc
+                if len(lab):
+                    l2 = lab.copy()
+                    l2[:, [0, 2]] += padw
+                    l2[:, [1, 3]] += padh
+                    all_labels.append(l2)
+            if all_labels:
+                labels = np.concatenate(all_labels, 0)
+                labels[:, 0] = labels[:, 0].clip(0, 2 * W)
+                labels[:, 1] = labels[:, 1].clip(0, 2 * H)
+                labels[:, 2] = labels[:, 2].clip(0, 2 * W)
+                labels[:, 3] = labels[:, 3].clip(0, 2 * H)
+                # scale+translate affine on corners (no rotation) + clip
+                # (augment.py apply_affine_to_bboxes for diagonal M)
+                labels[:, [0, 2]] = (labels[:, [0, 2]] * s + tx).clip(0, W)
+                labels[:, [1, 3]] = (labels[:, [1, 3]] * s + ty).clip(0, H)
+                wh = labels[:, 2:4] - labels[:, 0:2]
+                labels = labels[(wh > 1.0).all(1)]
+            else:
+                labels = np.zeros((0, 5), np.float32)
+
+            if "mix_idx" in draws and len(labels):
+                labels = self._finalize_mixup(
+                    draws, items[4], labels, params, tile_hw, tile_imgs
+                )
+            else:
+                params[P_MIX_W] = 0.0
+        else:
+            img, lab, _, _ = items[0]
+            h, w = img.shape[:2]
+            tile_imgs[0] = img
+            tile_hw[0] = (h, w)
+            left, top = (W - w) // 2, (H - h) // 2
+            # degenerate params: xc=2W, yc=2H puts every in-bounds tap in
+            # quadrant 0 whose paste offset is xc - w = 2W - w; folding
+            # the centered pad (augment.py pad_to) into the integer
+            # translate makes every tap exact: out(x,y) = tile0(x-left,
+            # y-top), gray 114 elsewhere.
+            params[P_XC], params[P_YC] = 2 * W, 2 * H
+            params[P_SCALE] = 1.0
+            params[P_TX] = left - (2 * W - w)
+            params[P_TY] = top - (2 * H - h)
+            labels = lab.copy() if len(lab) else np.zeros((0, 5), np.float32)
+            if len(labels):
+                labels[:, [0, 2]] += left
+                labels[:, [1, 3]] += top
+
+        # flips last (augment.py flip_lr/flip_ud on the final frame)
+        if draws["flip_lr"] and len(labels):
+            x1 = labels[:, 0].copy()
+            labels[:, 0] = W - labels[:, 2]
+            labels[:, 2] = W - x1
+        if draws["flip_ud"] and len(labels):
+            y1 = labels[:, 1].copy()
+            labels[:, 1] = H - labels[:, 3]
+            labels[:, 3] = H - y1
+        params[P_FLIP_LR] = float(draws["flip_lr"])
+        params[P_FLIP_UD] = float(draws["flip_ud"])
+        params[P_HSV_H], params[P_HSV_S], params[P_HSV_V] = draws["hsv"]
+        return params, tile_hw, labels, tile_imgs
+
+    def _finalize_mixup(self, draws, cp_item, labels, params, tile_hw,
+                        tile_imgs):
+        """Mixup geometry + labels (reference mosiac_dataset.py:177-254
+        with the ~1.0x re-resize folded to exactly 1). Post-decode draw
+        order: y_off, x_off."""
+        H, W = self.input_dim
+        rng = draws["_rng"]
+        img, cp_lab, _, _ = cp_item
+        h, w = img.shape[:2]
+        tile_imgs[4] = img
+        tile_hw[4] = (h, w)
+        jit = draws["mix_jit"]
+        flip = draws["mix_flip"]
+        ow, oh = int(W * jit), int(H * jit)
+        y_off = int(rng.integers(0, oh - H)) if oh > H else 0
+        x_off = int(rng.integers(0, ow - W)) if ow > W else 0
+        params[P_MIX_W] = 0.5
+        params[P_MIX_JIT] = jit
+        params[P_MIX_FLIP] = float(flip)
+        params[P_MIX_XOFF] = x_off
+        params[P_MIX_YOFF] = y_off
+
+        boxes = cp_lab[:, :4] * jit
+        boxes[:, 0::2] = boxes[:, 0::2].clip(0, ow)
+        boxes[:, 1::2] = boxes[:, 1::2].clip(0, oh)
+        if flip:
+            boxes[:, 0::2] = ow - boxes[:, 0::2][:, ::-1]
+        boxes[:, 0::2] = (boxes[:, 0::2] - x_off).clip(0, W)
+        boxes[:, 1::2] = (boxes[:, 1::2] - y_off).clip(0, H)
+        mix_labels = np.concatenate([boxes, cp_lab[:, 4:5]], axis=1)
+        wh = mix_labels[:, 2:4] - mix_labels[:, 0:2]
+        mix_labels = mix_labels[(wh > 1.0).all(1)]
+        return np.concatenate([labels, mix_labels], axis=0)

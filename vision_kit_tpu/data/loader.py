@@ -14,10 +14,12 @@ from __future__ import annotations
 
 import queue
 import threading
+from functools import partial
 from typing import Iterator
 
 import numpy as np
 
+from vision_kit_tpu import _malloc
 from vision_kit_tpu.data.augment import TrainAugPipeline, ValAugPipeline
 from vision_kit_tpu.data.mosaic import MosaicMixupDataset
 
@@ -108,6 +110,7 @@ class TrainLoader:
         prefetch: int = 3,
         no_aug: bool = False,
         num_workers: int = 0,
+        device_aug: bool = False,
     ):
         aug = dict(aug_cfg or {})
         self.img_size = (
@@ -142,8 +145,39 @@ class TrainLoader:
         self.steps_per_epoch = max(
             len(dataset) // (batch_size * num_shards), 1
         )
+        self.device_aug = bool(device_aug)
+        if self.device_aug:
+            from vision_kit_tpu.data.device_aug import DeviceAugPlanner
+
+            self.planner = DeviceAugPlanner(
+                dataset,
+                img_size=self.img_size,
+                enable_mosaic=bool(aug.get("enable_mosaic", True)),
+                enable_mixup=bool(aug.get("enable_mixup", False)),
+                mosaic_prob=float(aug.get("mosaic_prob", 1.0)),
+                mixup_prob=float(aug.get("mixup_prob", 1.0)),
+                degrees=float(aug.get("degrees", 0.0)),
+                translate=float(aug.get("translate", 0.1)),
+                mosaic_scale=tuple(aug.get("mosaic_scale", (0.5, 1.5))),
+                mixup_scale=tuple(aug.get("mixup_scale", (0.5, 1.5))),
+                shear=float(aug.get("shear", 0.0)),
+                flip_lr_prob=float(aug.get("flip_lr_prob", 0.5)),
+                flip_ud_prob=float(aug.get("flip_ud_prob", 0.0)),
+                hsv_prob=float(aug.get("hsv_prob", 1.0)),
+                no_aug=no_aug,
+            )
+            self._batch_fn = partial(_make_device_batch, self.planner)
+        else:
+            self._batch_fn = partial(_make_batch, self.mosaic_ds,
+                                     self.pipeline)
         self.num_workers = int(num_workers)
         self.prefetch = prefetch
+        # fault the batch working set in once (live buffers: queued +
+        # in-production + consumer-held) — see _malloc.prefault_arena
+        _malloc.prefault_arena(
+            (prefetch + 3) * self.batch_size * (5 if self.device_aug else 1)
+            * self.img_size[0] * self.img_size[1] * 3
+        )
         self._queue: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -153,10 +187,9 @@ class TrainLoader:
         self._next_bid = 0
 
     def _make_batch(self, batch_id: int):
-        return _make_batch(
-            self.mosaic_ds, self.pipeline, self.index_stream,
-            self.batch_size, self.img_size, self.max_labels, self.seed,
-            batch_id,
+        return self._batch_fn(
+            self.index_stream, self.batch_size, self.img_size,
+            self.max_labels, self.seed, batch_id,
         )
 
     def _worker(self):
@@ -190,7 +223,7 @@ class TrainLoader:
             q = ctx.Queue(maxsize=max(self.prefetch // self.num_workers, 1))
             p = ctx.Process(
                 target=_worker_main,
-                args=(q, self.mosaic_ds, self.pipeline, self.index_stream,
+                args=(q, self._batch_fn, self.index_stream,
                       self.batch_size, self.img_size, self.max_labels,
                       self.seed, self._next_bid + w, self.num_workers),
                 daemon=True,
@@ -262,19 +295,25 @@ class TrainLoader:
         self._mp_queues.clear()
 
 
-def _worker_main(out_q, mosaic_ds, pipeline, index_stream, batch_size,
+def _worker_main(out_q, batch_fn, index_stream, batch_size,
                  img_size, max_labels, seed, first_bid, stride):
     """Top-level (picklable) worker: produce batches first_bid, first_bid +
     stride, ... Deterministic per batch id regardless of worker count.
+    batch_fn is a partial of _make_batch or _make_device_batch.
     Exceptions are shipped to the consumer as an ("__error__", tb) item."""
     import traceback
 
+    # spawned process: fresh heap — fault in its batch working set
+    # (in-production batch + pickle copies on the queue feeder)
+    slots = 5 if getattr(batch_fn, "func", None) is _make_device_batch else 1
+    _malloc.prefault_arena(
+        4 * slots * batch_size * img_size[0] * img_size[1] * 3
+    )
     bid = first_bid
     try:
         while True:
-            out_q.put(_make_batch(mosaic_ds, pipeline, index_stream,
-                                  batch_size, img_size, max_labels, seed,
-                                  bid))
+            out_q.put(batch_fn(index_stream, batch_size, img_size,
+                               max_labels, seed, bid))
             bid += stride
     except Exception:
         out_q.put(("__error__", traceback.format_exc()))
@@ -298,6 +337,63 @@ def _make_batch(mosaic_ds, pipeline, index_stream, batch_size, img_size,
     return {
         "image": np.stack(imgs),  # uint8; normalized on device in the step
         "targets": pad_targets(labels, img_size, max_labels),
+    }
+
+
+def _make_device_batch(planner, index_stream, batch_size, img_size,
+                       max_labels, seed, batch_id):
+    """Deterministic device-augmentation batch `batch_id` (same bid/sid
+    scheme as _make_batch): the planner draws per-sample RNG + labels on
+    the host, ONE native batch call decodes every tile of the batch, and
+    the pixel warp is left to the train step (data/device_aug.py).
+
+    Yields {"tiles" (B, 5, S, S, 3) u8, "tile_hw" (B, 5, 2) i32,
+    "params" (B, 16) f32, "targets" (B, M, 5)}."""
+    from vision_kit_tpu.data.device_aug import N_TILES
+
+    h_sz, w_sz = img_size
+    plans, decode_idxs, spans = [], [], []
+    for k in range(batch_size):
+        sid = batch_id * batch_size + k
+        idx = index_stream.at(sid)
+        rng = np.random.default_rng([seed, 77, sid])
+        tile_idxs, draws = planner.plan(rng, idx)
+        spans.append((len(decode_idxs), len(tile_idxs)))
+        decode_idxs.extend(tile_idxs)
+        plans.append(draws)
+
+    ds = planner.dataset
+    puller = getattr(ds, "batch_pull_items", None)
+    items = (
+        puller(decode_idxs) if puller is not None
+        else [ds.pull_item(i) for i in decode_idxs]
+    )
+
+    # stale bytes outside each tile's valid region are never sampled
+    # (device_aug.py buffer contract) — except slot 4, zeroed below
+    tiles = np.empty((batch_size, N_TILES, h_sz, w_sz, 3), np.uint8)
+    tile_hw = np.zeros((batch_size, N_TILES, 2), np.int32)
+    params = np.zeros((batch_size, 16), np.float32)
+    labels_list = []
+    for k, (draws, (off, n)) in enumerate(zip(plans, spans)):
+        p_row, hw_row, labels, tile_imgs = planner.finalize(
+            draws, items[off:off + n]
+        )
+        params[k] = p_row
+        tile_hw[k] = hw_row
+        labels_list.append(labels)
+        for t, img in enumerate(tile_imgs):
+            if img is None:
+                continue
+            if t == 4:  # mixup margin must read as the reference's 0-pad
+                tiles[k, 4] = 0
+            th, tw = img.shape[:2]
+            tiles[k, t, :th, :tw] = img
+    return {
+        "tiles": tiles,
+        "tile_hw": tile_hw,
+        "params": params,
+        "targets": pad_targets(labels_list, img_size, max_labels),
     }
 
 
@@ -327,6 +423,10 @@ class ValLoader:
         self.pipeline = ValAugPipeline(img_sz=self.img_size)
         self.max_labels = max_labels
         self.prefetch = prefetch
+        _malloc.prefault_arena(
+            (prefetch + 3) * batch_size
+            * self.img_size[0] * self.img_size[1] * 3
+        )
 
     def __len__(self):
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size

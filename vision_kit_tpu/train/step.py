@@ -53,10 +53,17 @@ def create_train_state(model, variables, tx) -> TrainState:
 
 
 def make_train_step(model, loss_fn: YoloLoss, tx, mesh=None, donate=True,
-                    spatial=False, remat=False, accum_steps: int = 1):
+                    spatial=False, remat=False, accum_steps: int = 1,
+                    device_aug: bool = False):
     """Build the jitted train step.
 
-    batch: {"image": (B, H, W, 3) float in [0,1], "targets": (B, M, 5)}.
+    batch: {"image": (B, H, W, 3) float in [0,1], "targets": (B, M, 5)};
+    with device_aug=True instead {"tiles": (B, 5, H, W, 3) uint8,
+    "tile_hw": (B, 5, 2) int32, "params": (B, 16) float32, "targets"} and
+    the mosaic/mixup/HSV/flip warp (data/device_aug.py) runs on-device at
+    the head of the step, fused into the same XLA program as the model
+    (augmentation is computed for the full batch before any accum_steps
+    microbatch split — one (B, H, W, 3) float32 intermediate).
     Returns (state', metrics dict).
 
     spatial=True additionally shards the image height over the "model" mesh
@@ -82,7 +89,17 @@ def make_train_step(model, loss_fn: YoloLoss, tx, mesh=None, donate=True,
     assert accum_steps >= 1
 
     def train_step(state: TrainState, batch):
-        imgs, targets = batch["image"], batch["targets"]
+        if device_aug:
+            from vision_kit_tpu.data.device_aug import warp_augment
+
+            # uint8 tiles in, normalized float images out — the model's
+            # normalized-float input contract (models/layers.py ConvBnAct)
+            imgs = warp_augment(
+                batch["tiles"], batch["tile_hw"], batch["params"]
+            )
+            targets = batch["targets"]
+        else:
+            imgs, targets = batch["image"], batch["targets"]
         # uint8 batches (4x less H2D) go straight into the model: the stem
         # normalizes after its space-to-depth transpose so the layout move
         # streams u8 bytes and no full-image f32 intermediate materializes
@@ -199,7 +216,16 @@ def make_train_step(model, loss_fn: YoloLoss, tx, mesh=None, donate=True,
 
     repl = replicated_sharding(mesh)
     data = spatial_sharding(mesh) if spatial else batch_sharding(mesh)
-    batch_shardings = {"image": data, "targets": batch_sharding(mesh)}
+    if device_aug:
+        # tiles/params are batch-sharded (the warp is per-sample); with
+        # spatial=True the constraint inside compute_loss re-shards the
+        # augmented images over the model axis
+        bs = batch_sharding(mesh)
+        batch_shardings = {
+            "tiles": bs, "tile_hw": bs, "params": bs, "targets": bs,
+        }
+    else:
+        batch_shardings = {"image": data, "targets": batch_sharding(mesh)}
     return jax.jit(
         train_step,
         in_shardings=(repl, batch_shardings),

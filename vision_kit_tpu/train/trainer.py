@@ -76,6 +76,21 @@ class Trainer:
         if self.batch_size % n_data:
             self.batch_size = max(self.batch_size // n_data, 1) * n_data
 
+        # optional extra over the reference schema: data.device_aug moves
+        # the mosaic/mixup/HSV/flip pixel work into the jitted train step
+        # (data/device_aug.py) — the host only decodes and does label math.
+        # Rotation/shear need the host pipeline; fall back with a warning.
+        aug = dict(cfg.augmentations)
+        self.device_aug = bool(getattr(cfg.data, "device_aug", False))
+        if self.device_aug and (
+            float(aug.get("degrees", 0) or 0) or float(aug.get("shear", 0) or 0)
+        ):
+            logger.warning(
+                "data.device_aug disabled: degrees/shear require the host "
+                "augmentation pipeline"
+            )
+            self.device_aug = False
+
         # data
         self.train_loader, self.val_loader = self._build_loaders()
         steps_per_epoch = self.train_loader.steps_per_epoch
@@ -143,6 +158,7 @@ class Trainer:
             # microbatch's worth) and rematerialization
             accum_steps=int(getattr(cfg.data, "accum_steps", 1) or 1),
             remat=bool(getattr(cfg.data, "remat", False)),
+            device_aug=self.device_aug,
         )
         self.eval_step = make_eval_step(
             self.model, mesh=self.mesh,
@@ -241,6 +257,7 @@ class Trainer:
             seed=self.seed,
             shard=jax.process_index(), num_shards=jax.process_count(),
             num_workers=int(getattr(cfg.data, "num_workers", 0) or 0),
+            device_aug=self.device_aug,
         )
         val_loader = ValLoader(val_ds, self.batch_size, img_size=self.img_size)
         return train_loader, val_loader
@@ -460,6 +477,13 @@ class Trainer:
             logger.info("test(): no separate data.test_path — evaluating "
                         "the val split (%s)", self.cfg.data.val_path)
             return self.val_loader
+        if not os.path.isdir(os.path.join(self.cfg.data.data_dir,
+                                          str(test_path))):
+            logger.warning(
+                "test(): data.test_path %s does not exist — evaluating the "
+                "val split (%s) instead", test_path, self.cfg.data.val_path,
+            )
+            return self.val_loader
         logger.info("test(): evaluating the test split (%s)", test_path)
         ds = self._eval_dataset(str(test_path))
         return ValLoader(ds, self.batch_size, img_size=self.img_size)
@@ -558,8 +582,18 @@ class Trainer:
         try:
             from vision_kit_tpu.utils.drawing import grid_save
 
+            if "image" in batch:
+                images = batch["image"]
+            else:  # device-aug batch: materialize the warp once for the grid
+                from vision_kit_tpu.data.device_aug import warp_augment
+
+                images = np.asarray(
+                    warp_augment(
+                        batch["tiles"], batch["tile_hw"], batch["params"]
+                    )
+                )
             grid = grid_save(
-                batch["image"], batch["targets"],
+                images, batch["targets"],
                 os.path.join(self.output_dir, f"{split}.jpg"),
             )
             self._log_image(f"samples/{split}", grid, step)
