@@ -139,9 +139,14 @@ def _assert_agreement(repo_res, ref_map50, ref_map95):
 
 
 def test_full_pipeline_map_parity(reference):
+    import torch
+
     from conftest import reset_reference_defaults
     from vision_kit.models.architectures.yolov5 import YOLOV5 as RefV5
 
+    # deterministic weights: with unseeded init the random model's many
+    # near-tied scores make NMS keep-sets (and mAP, ~5e-3) run-dependent
+    torch.manual_seed(0)
     reset_reference_defaults()
     torch_model = RefV5(variant="n", num_classes=NC)
     reset_reference_defaults()
@@ -155,8 +160,11 @@ def test_full_pipeline_map_parity_v7(reference):
     (ELAN backbone, SPPCSPC neck, Implicit head — reference
     models/architectures/yolov7.py). Fewer images: v7-base is ~10x v5n
     FLOPs and both pipelines run on one CPU core."""
+    import torch
+
     from vision_kit.models.architectures.yolov7 import YOLOV7 as RefV7
 
+    torch.manual_seed(0)  # see v5 test: unseeded init makes mAP run-dependent
     torch_model = RefV7(variant="base", num_classes=NC, deploy=False)
     jax_model = YOLOV7(variant="base", num_classes=NC, deploy=False)
     variables = _convert(torch_model, jax_model)
