@@ -343,6 +343,20 @@ def test_planner_determinism():
     assert not np.array_equal(p1, p3)
 
 
+def test_four_slot_tiles_skip_mixup():
+    """A 4-slot tiles buffer (loader with mixup off) must produce exactly
+    the 5-slot result at P_MIX_W = 0."""
+    rng = np.random.default_rng(19)
+    sizes = [(S, S), (S - 9, S), (S, S - 17), (S - 3, S - 5)]
+    tiles, hw, _ = make_tiles(rng, sizes + [None])
+    p = base_params()
+    p[P_XC], p[P_YC] = 70, 61
+    p[P_SCALE], p[P_TX], p[P_TY] = 0.9, 3.25, -2.5
+    full = run_kernel(tiles, hw, p)
+    cut = run_kernel(tiles[:, :4], hw[:, :4], p)
+    np.testing.assert_allclose(cut, full, atol=1e-3)
+
+
 def test_planner_rejects_rotation():
     with pytest.raises(ValueError):
         DeviceAugPlanner(_BoxDataset(), degrees=10.0)

@@ -72,11 +72,12 @@ def main():
             P_MIX_W, P_SCALE, P_TX, P_TY, P_XC, P_YC,
         )
 
-        name += "+daug"
+        n_tiles = 4 if "nomix" in sys.argv[1:] else N_TILES
+        name += "+daug" + ("(nomix)" if n_tiles == 4 else "")
         tiles = rng.integers(
-            0, 255, (batch, N_TILES, size, size, 3), dtype=np.uint8
+            0, 255, (batch, n_tiles, size, size, 3), dtype=np.uint8
         )
-        tile_hw = np.full((batch, N_TILES, 2), size, np.int32)
+        tile_hw = np.full((batch, n_tiles, 2), size, np.int32)
         params = np.zeros((batch, N_PARAMS), np.float32)
         # mosaic-realistic: fractional scale/translate, HSV on, mixup on —
         # the most expensive parameter regime (every tap bilinear)

@@ -35,6 +35,19 @@ selects. Plain (non-mosaic) samples ride the same kernel with degenerate
 parameters (center xc=2W, yc=2H puts every pixel in quadrant 0; scale 1,
 zero translate makes every tap integer -> exact center-pad).
 
+TPU mapping: the warp is separable (no rotation), so instead of per-pixel
+gathers (measured ~147 ms/image on the TPU — gathers of per-pixel indices
+bypass the MXU entirely) each tile's resample is two bilinear
+weight-matrix matmuls: out = sum_t A_t @ tile_t @ B_t^T + 114 * (1 -
+sum_t u_t (x) v_t), where A_t[o, i] = tri(y_src(o) - (padh_t + i)) masked
+to the tile's valid/in-canvas rows, tri(d) = max(0, 1 - |d|), u_t/v_t are
+the weight row-sums, and the paste rectangles are pairwise disjoint so
+the per-tile weight masses add. This reproduces the gather taps exactly
+(incl. cross-seam taps and the 114 border as the uncovered weight mass)
+but runs on the MXU. MixUp is the same two-matmul resample of slot 4 with
+edge-clamped source coordinates (coordinate clamp == cv2 border
+replicate).
+
 Intentional deviations from the host path (all distribution-level, none
 affecting label math): the reference's second ~1.0x rescale of
 already-resized mosaic tiles (scale = min(S/h, S/w) of a tile whose long
@@ -78,65 +91,9 @@ N_PARAMS = 16    # padded
 N_TILES = 5      # 4 mosaic quadrants + 1 mixup source
 
 
-def _per_quadrant(table, q):
-    """table (B, 4) -> value at q; q (B, H, W) int32 in [0, 4)."""
-    b = table.shape[0]
-    return jnp.take_along_axis(table, q.reshape(b, -1), axis=1).reshape(q.shape)
-
-
-def _mosaic_tap(tiles_flat, xc, yc, padw, padh, tile_w, tile_h, xi, yi, H, W):
-    """Conceptual-canvas value at integer coords; off-canvas/off-tile -> 114.
-
-    tiles_flat (B, N_TILES*H*W, 3) uint8; xi/yi (B, H, W) int32;
-    xc/yc (B, 1, 1); padw/padh/tile_w/tile_h (B, 4). Returns (B,H,W,3) f32.
-    """
-    inb = (xi >= 0) & (xi < 2 * W) & (yi >= 0) & (yi < 2 * H)
-    q = (xi >= xc).astype(jnp.int32) + 2 * (yi >= yc).astype(jnp.int32)
-    xt = xi - _per_quadrant(padw, q)
-    yt = yi - _per_quadrant(padh, q)
-    ok = (
-        inb
-        & (xt >= 0) & (xt < _per_quadrant(tile_w, q))
-        & (yt >= 0) & (yt < _per_quadrant(tile_h, q))
-    )
-    lin = (q * H + yt.clip(0, H - 1)) * W + xt.clip(0, W - 1)
-    b = tiles_flat.shape[0]
-    g = jnp.take_along_axis(
-        tiles_flat, lin.reshape(b, -1, 1), axis=1
-    ).reshape(*lin.shape, 3)
-    return jnp.where(ok[..., None], g.astype(jnp.float32), PAD_VALUE)
-
-
-def _mixup_tap(tiles_flat, xi, yi, H, W):
-    """Slot-4 value with edge clamp (replicate border, like cv2.resize);
-    the zero-filled margin supplies the reference's zero pad."""
-    lin = (4 * H + yi.clip(0, H - 1)) * W + xi.clip(0, W - 1)
-    b = tiles_flat.shape[0]
-    g = jnp.take_along_axis(
-        tiles_flat, lin.reshape(b, -1, 1), axis=1
-    ).reshape(*lin.shape, 3)
-    return g.astype(jnp.float32)
-
-
-def _bilerp(tap, x_src, y_src):
-    """Generic separable bilinear: tap(xi (B,H,W) i32, yi) -> (B,H,W,3);
-    x_src (B, W) f32, y_src (B, H) f32 source coordinates."""
-    x0f = jnp.floor(x_src)
-    y0f = jnp.floor(y_src)
-    fx = (x_src - x0f)[:, None, :, None]
-    fy = (y_src - y0f)[:, :, None, None]
-    x0 = x0f.astype(jnp.int32)[:, None, :]
-    y0 = y0f.astype(jnp.int32)[:, :, None]
-    H, W = y_src.shape[1], x_src.shape[1]
-    x0 = jnp.broadcast_to(x0, (x_src.shape[0], H, W))
-    y0 = jnp.broadcast_to(y0, (x_src.shape[0], H, W))
-    v00 = tap(x0, y0)
-    v10 = tap(x0 + 1, y0)
-    v01 = tap(x0, y0 + 1)
-    v11 = tap(x0 + 1, y0 + 1)
-    top = v00 * (1.0 - fx) + v10 * fx
-    bot = v01 * (1.0 - fx) + v11 * fx
-    return top * (1.0 - fy) + bot * fy
+def _tri(d):
+    """Bilinear hat weight: nonzero exactly for the floor/ceil taps."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(d))
 
 
 def _hsv_jitter(img, r0, r1, r2):
@@ -176,28 +133,32 @@ def _hsv_jitter(img, r0, r1, r2):
     return jnp.stack([r_, g_, b_], axis=-1)
 
 
-def warp_augment(tiles, tile_hw, params):
+def warp_augment(tiles, tile_hw, params, dtype=jnp.float32):
     """The device augmentation program.
 
     tiles (B, N_TILES, H, W, 3) uint8; tile_hw (B, N_TILES, 2) int32
     [h, w] valid extents; params (B, N_PARAMS) float32 (layout above).
-    Returns (B, H, W, 3) float32 in [0, 1] — feed the model directly
+    Returns (B, H, W, 3) `dtype` in [0, 1] — feed the model directly
     (normalized-float contract of models/layers.ConvBnAct).
+
+    dtype is the resample-matmul input dtype: bf16 halves the einsum HBM
+    traffic and runs the MXU at full rate (accumulation stays fp32 via
+    preferred_element_type) at the cost of weight rounding ~2^-9 — a
+    distribution-level deviation fine for training augmentation. Tests pin
+    semantics on the exact f32 path; the train step passes the model's
+    compute dtype.
     """
     B, _, H, W, _ = tiles.shape
-    tiles_flat = tiles.reshape(B, N_TILES * H * W, 3)
     p = params.astype(jnp.float32)
 
-    xc1 = p[:, P_XC].astype(jnp.int32)
-    yc1 = p[:, P_YC].astype(jnp.int32)
-    xc = xc1[:, None, None]
-    yc = yc1[:, None, None]
-    th4 = tile_hw[:, :4, 0]
-    tw4 = tile_hw[:, :4, 1]
+    xc1 = p[:, P_XC]  # int-valued floats
+    yc1 = p[:, P_YC]
+    th4 = tile_hw[:, :4, 0].astype(jnp.float32)
+    tw4 = tile_hw[:, :4, 1].astype(jnp.float32)
     # paste offsets per quadrant (canvas coord - tile coord); the
     # reference's get_mosaic_coordinate collapses to exactly these
     padw = jnp.stack(
-        [xc1 - tw4[:, 0], xc1, xc1 - tw4[:, 2], xc1], axis=1)
+        [xc1 - tw4[:, 0], xc1, xc1 - tw4[:, 2], xc1], axis=1)  # (B, 4)
     padh = jnp.stack(
         [yc1 - th4[:, 0], yc1 - th4[:, 1], yc1, yc1], axis=1)
 
@@ -207,14 +168,69 @@ def warp_augment(tiles, tile_hw, params):
     x_src = (xo[None, :] - p[:, P_TX, None]) / s[:, None]  # (B, W)
     y_src = (yo[None, :] - p[:, P_TY, None]) / s[:, None]  # (B, H)
 
-    def mtap(xi, yi):
-        return _mosaic_tap(tiles_flat, xc, yc, padw, padh, tw4, th4,
-                           xi, yi, H, W)
+    ii = jnp.arange(H, dtype=jnp.float32)  # tile row index
+    jj = jnp.arange(W, dtype=jnp.float32)  # tile col index
+    # A[b,t,o,i]: bilinear weight of tile t's row i for output row o,
+    # masked to in-canvas and valid-extent rows (= the gather's ok mask)
+    ypos = padh[:, :, None] + ii[None, None, :]                   # (B,4,H)
+    yvalid = (
+        (ypos >= 0) & (ypos < 2 * H)
+        & (ii[None, None, :] < th4[:, :, None])
+    )
+    A = (
+        _tri(y_src[:, None, :, None] - ypos[:, :, None, :])
+        * yvalid[:, :, None, :]
+    )                                                             # (B,4,H,H)
+    xpos = padw[:, :, None] + jj[None, None, :]
+    xvalid = (
+        (xpos >= 0) & (xpos < 2 * W)
+        & (jj[None, None, :] < tw4[:, :, None])
+    )
+    Bw = (
+        _tri(x_src[:, None, :, None] - xpos[:, :, None, :])
+        * xvalid[:, :, None, :]
+    )                                                             # (B,4,W,W)
 
-    out = _bilerp(mtap, x_src, y_src)  # (B, H, W, 3) f32 [0,255]
+    t4 = tiles[:, :4].astype(dtype)
+    # paste rectangles are pairwise disjoint -> per-tile contributions and
+    # weight masses add; uncovered weight mass is the 114 border/background
+    tmp = jnp.einsum(
+        "btoi,btijc->btojc", A.astype(dtype), t4, precision="highest",
+        preferred_element_type=dtype,
+    )
+    mos = jnp.einsum(
+        "btojc,btpj->bopc", tmp, Bw.astype(dtype), precision="highest",
+        preferred_element_type=dtype,
+    )
+    cov = jnp.einsum("bto,btp->bop", A.sum(-1), Bw.sum(-1))
+    # post-matmul pipeline stays in dtype end-to-end (every elementwise
+    # pass below reads/writes (B,H,W,3) — at bf16 half the HBM traffic)
+    out = mos + (PAD_VALUE * (1.0 - cov)[..., None]).astype(dtype)
 
     # ---- mixup (reference mosiac_dataset.py:177-254); weight 0 per
-    # sample disables (XLA still computes it — one extra tap set) --------
+    # sample disables (XLA still computes it — one extra resample). A
+    # 4-slot tiles buffer (loader with enable_mixup=False) statically
+    # skips the resample and ships 20% fewer bytes. ----------------------
+    if tiles.shape[1] > 4:
+        out = _apply_mixup(out, tiles, p, xo, yo, ii, jj, H, W, dtype)
+
+    # ---- HSV (exact passthrough when all gains are 1; internal math in
+    # f32 — register-resident, fused, so no extra memory traffic) ---------
+    r0, r1, r2 = p[:, P_HSV_H], p[:, P_HSV_S], p[:, P_HSV_V]
+    do_hsv = ((r0 != 1.0) | (r1 != 1.0) | (r2 != 1.0))[:, None, None, None]
+    hsv = _hsv_jitter(out.astype(jnp.float32), r0, r1, r2).astype(dtype)
+    out = jnp.where(do_hsv, hsv, out)
+
+    # ---- flips ----------------------------------------------------------
+    out = jnp.where(p[:, P_FLIP_LR, None, None, None] > 0.5,
+                    out[:, :, ::-1, :], out)
+    out = jnp.where(p[:, P_FLIP_UD, None, None, None] > 0.5,
+                    out[:, ::-1, :, :], out)
+
+    return out * dtype(1.0 / 255.0)
+
+
+def _apply_mixup(out, tiles, p, xo, yo, ii, jj, H, W, dtype):
     jit_s = p[:, P_MIX_JIT]
     jit_safe = jnp.where(jit_s > 0, jit_s, 1.0)
     ow = jnp.floor(W * jit_safe)  # int(W*jit): resized width
@@ -224,33 +240,30 @@ def warp_augment(tiles, tile_hw, params):
     flip = p[:, P_MIX_FLIP, None] > 0.5
     xf = jnp.where(flip, (ow[:, None] - 1.0) - xr, xr)
     # cv2.resize half-pixel convention, with the ACTUAL dst/src ratio
-    # (ow = int(W*jit) truncates, so the effective scale is ow/W, not jit)
+    # (ow = int(W*jit) truncates, so the effective scale is ow/W, not jit);
+    # clamping the source coordinate into range == cv2's border replicate
     xs = (xf + 0.5) * (W / jnp.maximum(ow[:, None], 1.0)) - 0.5
     ys = (yr + 0.5) * (H / jnp.maximum(oh[:, None], 1.0)) - 0.5
-
-    def xtap(xi, yi):
-        return _mixup_tap(tiles_flat, xi, yi, H, W)
-
-    mix = _bilerp(xtap, xs, ys)
+    Am = _tri(
+        jnp.clip(ys, 0.0, H - 1.0)[:, :, None] - ii[None, None, :]
+    )                                                             # (B,H,H)
+    Bm = _tri(
+        jnp.clip(xs, 0.0, W - 1.0)[:, :, None] - jj[None, None, :]
+    )                                                             # (B,W,W)
+    mtmp = jnp.einsum(
+        "boi,bijc->bojc", Am.astype(dtype), tiles[:, 4].astype(dtype),
+        precision="highest", preferred_element_type=dtype,
+    )
+    mix = jnp.einsum(
+        "bojc,bpj->bopc", mtmp, Bm.astype(dtype), precision="highest",
+        preferred_element_type=dtype,
+    )
     # beyond the resized extent the reference's zero pad shows through
     ok = ((xr >= 0) & (xr < ow[:, None]))[:, None, :] \
         & ((yr >= 0) & (yr < oh[:, None]))[:, :, None]
-    mix = jnp.where(ok[..., None], mix, 0.0)
-    mixw = p[:, P_MIX_W][:, None, None, None]
-    out = out * (1.0 - mixw) + mix * mixw
-
-    # ---- HSV (exact passthrough when all gains are 1) -------------------
-    r0, r1, r2 = p[:, P_HSV_H], p[:, P_HSV_S], p[:, P_HSV_V]
-    do_hsv = ((r0 != 1.0) | (r1 != 1.0) | (r2 != 1.0))[:, None, None, None]
-    out = jnp.where(do_hsv, _hsv_jitter(out, r0, r1, r2), out)
-
-    # ---- flips ----------------------------------------------------------
-    out = jnp.where(p[:, P_FLIP_LR, None, None, None] > 0.5,
-                    out[:, :, ::-1, :], out)
-    out = jnp.where(p[:, P_FLIP_UD, None, None, None] > 0.5,
-                    out[:, ::-1, :, :], out)
-
-    return out * (1.0 / 255.0)
+    mix = jnp.where(ok[..., None], mix, dtype(0.0))
+    mixw = p[:, P_MIX_W][:, None, None, None].astype(dtype)
+    return out * (dtype(1.0) - mixw) + mix * mixw
 
 
 # ======================================================================
@@ -313,6 +326,9 @@ class DeviceAugPlanner:
         self.flip_ud_prob = 0.0 if no_aug else flip_ud_prob
         self.hsv_prob = 0.0 if no_aug else hsv_prob
         self.hsv_gains = tuple(hsv_gains)
+        # mixup off -> 4-slot tile buffers (the warp statically skips the
+        # slot-4 resample; 20% fewer H2D bytes)
+        self.n_tiles = N_TILES if self.enable_mixup else 4
 
     # -- phase A: decisions that precede decode ---------------------------
     def plan(self, rng: np.random.Generator, idx: int):
@@ -373,10 +389,10 @@ class DeviceAugPlanner:
         tile_imgs list aligned to slots)."""
         H, W = self.input_dim
         params = np.zeros(N_PARAMS, np.float32)
-        tile_hw = np.zeros((N_TILES, 2), np.int32)
+        tile_hw = np.zeros((self.n_tiles, 2), np.int32)
         params[P_SCALE] = 1.0
         params[P_MIX_JIT] = 1.0
-        tile_imgs: list = [None] * N_TILES
+        tile_imgs: list = [None] * self.n_tiles
 
         if draws["mosaic"]:
             xc, yc = draws["xc"], draws["yc"]

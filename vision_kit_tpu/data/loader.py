@@ -347,10 +347,10 @@ def _make_device_batch(planner, index_stream, batch_size, img_size,
     the host, ONE native batch call decodes every tile of the batch, and
     the pixel warp is left to the train step (data/device_aug.py).
 
-    Yields {"tiles" (B, 5, S, S, 3) u8, "tile_hw" (B, 5, 2) i32,
-    "params" (B, 16) f32, "targets" (B, M, 5)}."""
-    from vision_kit_tpu.data.device_aug import N_TILES
-
+    Yields {"tiles" (B, T, S, S, 3) u8, "tile_hw" (B, T, 2) i32,
+    "params" (B, 16) f32, "targets" (B, M, 5)} with T = planner.n_tiles
+    (5 with mixup, else 4 — the warp statically skips the mixup leg)."""
+    n_tiles = planner.n_tiles
     h_sz, w_sz = img_size
     plans, decode_idxs, spans = [], [], []
     for k in range(batch_size):
@@ -371,8 +371,8 @@ def _make_device_batch(planner, index_stream, batch_size, img_size,
 
     # stale bytes outside each tile's valid region are never sampled
     # (device_aug.py buffer contract) — except slot 4, zeroed below
-    tiles = np.empty((batch_size, N_TILES, h_sz, w_sz, 3), np.uint8)
-    tile_hw = np.zeros((batch_size, N_TILES, 2), np.int32)
+    tiles = np.empty((batch_size, n_tiles, h_sz, w_sz, 3), np.uint8)
+    tile_hw = np.zeros((batch_size, n_tiles, 2), np.int32)
     params = np.zeros((batch_size, 16), np.float32)
     labels_list = []
     for k, (draws, (off, n)) in enumerate(zip(plans, spans)):

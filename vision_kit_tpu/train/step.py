@@ -93,9 +93,12 @@ def make_train_step(model, loss_fn: YoloLoss, tx, mesh=None, donate=True,
             from vision_kit_tpu.data.device_aug import warp_augment
 
             # uint8 tiles in, normalized float images out — the model's
-            # normalized-float input contract (models/layers.py ConvBnAct)
+            # normalized-float input contract (models/layers.py ConvBnAct);
+            # resample matmuls run in the model's compute dtype (bf16 =
+            # half the HBM traffic, full MXU rate; see warp_augment)
             imgs = warp_augment(
-                batch["tiles"], batch["tile_hw"], batch["params"]
+                batch["tiles"], batch["tile_hw"], batch["params"],
+                dtype=getattr(model, "dtype", None) or jnp.float32,
             )
             targets = batch["targets"]
         else:
