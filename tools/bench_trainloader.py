@@ -35,7 +35,7 @@ def build_dataset(root, n, hw):
             f.write("0 0.5 0.5 0.4 0.3\n1 0.3 0.3 0.2 0.2")
 
 
-def run(root, batch, size, n_batches, cache, mosaic=True):
+def run(root, batch, size, n_batches, cache, mosaic=True, device_aug=False):
     from vision_kit_tpu.data.datasets import YOLODataset
     from vision_kit_tpu.data.loader import TrainLoader
 
@@ -44,7 +44,7 @@ def run(root, batch, size, n_batches, cache, mosaic=True):
     loader = TrainLoader(
         ds, batch, img_size=(size, size),
         aug_cfg={"enable_mosaic": mosaic, "enable_mixup": False},
-        prefetch=0,
+        prefetch=0, device_aug=device_aug,
     )
     it = iter(loader)
     next(it)  # warm (label cache, native pool spin-up, heap growth)
@@ -83,6 +83,15 @@ def main():
         ram = run(root, args.batch, args.size, args.batches, cache=True)
         print(f"ram image cache:      {ram:8.1f} img/s  ({ram / py:.2f}x)"
               "  (aug/mosaic cost only)")
+        # device-aug batches: host = decode + RNG + label math only (the
+        # pixel warp runs inside the train step, data/device_aug.py)
+        da = run(root, args.batch, args.size, args.batches, cache=False,
+                 device_aug=True)
+        print(f"device-aug uncached:  {da:8.1f} img/s  ({da / py:.2f}x)")
+        da_ram = run(root, args.batch, args.size, args.batches, cache=True,
+                     device_aug=True)
+        print(f"device-aug ram cache: {da_ram:8.1f} img/s  "
+              f"({da_ram / py:.2f}x)")
 
 
 if __name__ == "__main__":
