@@ -362,6 +362,30 @@ def test_planner_rejects_rotation():
         DeviceAugPlanner(_BoxDataset(), degrees=10.0)
 
 
+def test_spawn_workers_match_inline():
+    """Spawn-worker device-aug batches are bit-identical to the inline
+    path (determinism is per batch id, independent of worker count)."""
+    from vision_kit_tpu.data.loader import TrainLoader
+
+    def batches(num_workers, n=3):
+        loader = TrainLoader(
+            _BoxDataset(), batch_size=2, img_size=(S, S),
+            aug_cfg={"enable_mosaic": True, "enable_mixup": True},
+            prefetch=1, device_aug=True, num_workers=num_workers,
+        )
+        try:
+            it = iter(loader)
+            return [next(it) for _ in range(n)]
+        finally:
+            loader.close()
+
+    inline = batches(0)
+    workered = batches(1)
+    for a, b in zip(inline, workered):
+        for k in ("tiles", "tile_hw", "params", "targets"):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 def test_loader_device_mode_and_train_step():
     """End-to-end: TrainLoader(device_aug=True) yields the tiles schema, and
     make_train_step(device_aug=True) on it produces the same losses as the
