@@ -64,7 +64,8 @@ def capture(trace_dir: str, batch: int, chunk: int):
         _ = int(stream(imgs, jnp.zeros((), jnp.int32)))
 
 
-def capture_train(trace_dir: str, batch: int, chunk: int):
+def capture_train(trace_dir: str, batch: int, chunk: int,
+                  device_aug: bool = False):
     import numpy as np
 
     import jax
@@ -89,7 +90,8 @@ def capture_train(trace_dir: str, batch: int, chunk: int):
     loss_fn = YoloLoss(80, model.grid_anchors, hyp)
     tx = make_optimizer(variables["params"], hyp, 300, 1000)
     state = create_train_state(model, variables, tx)
-    step_fn = make_train_step(model, loss_fn, tx, donate=False)
+    step_fn = make_train_step(model, loss_fn, tx, donate=False,
+                              device_aug=device_aug)
 
     rng = np.random.default_rng(0)
     targets = jnp.asarray(np.where(
@@ -100,15 +102,44 @@ def capture_train(trace_dir: str, batch: int, chunk: int):
         ], -1),
         -1.0,
     ).astype(np.float32))
-    images = jnp.asarray(
-        rng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8))
+    if device_aug:
+        from vision_kit_tpu.data.device_aug import (
+            N_PARAMS, N_TILES, P_HSV_H, P_HSV_S, P_HSV_V, P_MIX_JIT,
+            P_MIX_W, P_SCALE, P_TX, P_TY, P_XC, P_YC,
+        )
+
+        tiles = jnp.asarray(rng.integers(
+            0, 255, (batch, N_TILES, size, size, 3), dtype=np.uint8))
+        tile_hw = jnp.asarray(np.full((batch, N_TILES, 2), size, np.int32))
+        params = np.zeros((batch, N_PARAMS), np.float32)
+        params[:, P_XC] = rng.integers(size // 2, 3 * size // 2, batch)
+        params[:, P_YC] = rng.integers(size // 2, 3 * size // 2, batch)
+        params[:, P_SCALE] = rng.uniform(0.6, 1.4, batch)
+        params[:, P_TX] = rng.uniform(-0.1, 0.1, batch) * size
+        params[:, P_TY] = rng.uniform(-0.1, 0.1, batch) * size
+        params[:, P_HSV_H] = rng.uniform(0.985, 1.015, batch)
+        params[:, [P_HSV_S, P_HSV_V]] = rng.uniform(0.6, 1.4, (batch, 2))
+        params[:, P_MIX_W] = 0.5
+        params[:, P_MIX_JIT] = rng.uniform(1.0, 1.5, batch)
+        params = jnp.asarray(params)
+
+        base = {"tiles": tiles, "tile_hw": tile_hw, "params": params,
+                "targets": targets}
+
+        def perturb(b, k):
+            return {**b, "tiles": b["tiles"] + k.astype(jnp.uint8)}
+    else:
+        images = jnp.asarray(
+            rng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8))
+        base = {"image": images, "targets": targets}
+
+        def perturb(b, k):
+            return {**b, "image": b["image"] + k.astype(jnp.uint8)}
 
     @jax.jit
-    def stream(state, imgs, targets):
+    def stream(state, base):
         def body(st, k):
-            st2, metrics = step_fn(
-                st, {"image": imgs + k.astype(jnp.uint8), "targets": targets}
-            )
+            st2, metrics = step_fn(st, perturb(base, k))
             return st2, metrics["loss"]
 
         st, losses = jax.lax.scan(
@@ -116,10 +147,10 @@ def capture_train(trace_dir: str, batch: int, chunk: int):
         )
         return st, losses
 
-    st, losses = stream(state, images, targets)
+    st, losses = stream(state, base)
     _ = float(losses[-1])  # compile + warm
     with jax.profiler.trace(trace_dir):
-        st, losses = stream(state, images, targets)
+        st, losses = stream(state, base)
         _ = float(losses[-1])
 
 
@@ -168,10 +199,13 @@ if __name__ == "__main__":
     ap.add_argument("--summarize-only", action="store_true")
     ap.add_argument("--train", action="store_true",
                     help="profile the full train step instead of inference")
+    ap.add_argument("--daug", action="store_true",
+                    help="with --train: device-augmentation tiles batch")
     args = ap.parse_args()
     if not args.summarize_only:
         if args.train:
-            capture_train(args.dir, args.batch, args.chunk)
+            capture_train(args.dir, args.batch, args.chunk,
+                          device_aug=args.daug)
         else:
             capture(args.dir, args.batch, args.chunk)
     summarize(args.dir, args.top)
