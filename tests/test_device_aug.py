@@ -158,9 +158,10 @@ def test_mixup_vs_numpy_oracle(jit_s, flip):
     tiles, hw, imgs = make_tiles(
         rng, [(S, S), (S, S), (S, S), (S, S), (h4, w4)]
     )
-    # contract: slot 4's margin must be zero (planner zero-fills)
-    tiles[0, 4, h4:, :] = 0
-    tiles[0, 4, :, w4:] = 0
+    # contract: slot 4's margin reads as the reference's 114-gray
+    # letterbox canvas (the loader fills it)
+    tiles[0, 4, h4:, :] = 114
+    tiles[0, 4, :, w4:] = 114
     p = base_params()
     p[P_XC], p[P_YC] = S, S
     ow, oh = int(S * jit_s), int(S * jit_s)
@@ -171,8 +172,9 @@ def test_mixup_vs_numpy_oracle(jit_s, flip):
     p[P_MIX_FLIP] = float(flip)
     p[P_MIX_XOFF], p[P_MIX_YOFF] = x_off, y_off
 
-    # oracle mixup half (reference mosiac_dataset.py:177-254)
-    cp = np.zeros((S, S, 3), np.uint8)
+    # oracle mixup half (reference mosiac_dataset.py:177-254): content
+    # letterboxed onto a 114-gray canvas, jit-resized, zero-padded, cropped
+    cp = np.full((S, S, 3), 114, np.uint8)
     cp[:h4, :w4] = imgs[4]
     resized = cv2.resize(cp, (ow, oh), interpolation=cv2.INTER_LINEAR)
     if flip:

@@ -30,7 +30,18 @@ _M_MMAP_THRESHOLD = -3
 _applied = False
 
 
-def tune_for_batch_buffers(threshold: int = 256 << 20) -> bool:
+# Largest allocation still served from the arena. Must cover the biggest
+# recurring batch buffer: device-aug tiles at b64@640 are 64*5*640*640*3
+# = 393 MB, so 512 MB (the old 256 MB silently sent those to mmap).
+_MMAP_THRESHOLD = 512 << 20
+# Never trim: the trim threshold must exceed the prefault working set
+# (cap + headroom below), otherwise free()ing the prefault block creates a
+# top chunk above the threshold and glibc gives the pages straight back.
+# Capped near INT_MAX (mallopt takes a C int).
+_TRIM_THRESHOLD = 0x7FFF0000
+
+
+def tune_for_batch_buffers(threshold: int = _MMAP_THRESHOLD) -> bool:
     """Serve allocations below `threshold` from the reusable main arena.
 
     Returns True if mallopt was reached and accepted both settings."""
@@ -45,7 +56,7 @@ def tune_for_batch_buffers(threshold: int = 256 << 20) -> bool:
         libc = ctypes.CDLL(None)
         ok = bool(libc.mallopt(_M_MMAP_THRESHOLD, threshold))
         # keep the grown heap: trimming would munmap and re-fault next batch
-        ok = bool(libc.mallopt(_M_TRIM_THRESHOLD, threshold)) and ok
+        ok = bool(libc.mallopt(_M_TRIM_THRESHOLD, _TRIM_THRESHOLD)) and ok
         _applied = ok
         return ok
     except (OSError, AttributeError):
@@ -84,9 +95,19 @@ def prefault_arena(nbytes: int) -> int:
         return 0
     import numpy as np
 
-    block = np.empty(total, np.uint8)
-    block[::4096] = 1  # touch every page
+    # Allocate in chunks BELOW the mmap threshold, held simultaneously: a
+    # single >=threshold block would be served by mmap and unmapped on free
+    # (prefaulting nothing). Freed chunks stay mapped because the trim
+    # threshold exceeds the whole working set.
+    chunk_sz = _MMAP_THRESHOLD // 4
+    chunks = []
+    left = total
+    while left > 0:
+        block = np.empty(min(left, chunk_sz), np.uint8)
+        block[::4096] = 1  # touch every page
+        chunks.append(block)
+        left -= len(block)
     grown = total - _prefaulted
     _prefaulted = total
-    del block  # stays in the arena: M_TRIM_THRESHOLD keeps it mapped
+    del chunks  # stays in the arena: M_TRIM_THRESHOLD keeps it mapped
     return grown

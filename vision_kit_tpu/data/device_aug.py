@@ -55,11 +55,19 @@ side is already S, off by <0.2% from int truncation) is folded to exactly
 1; the p=0.01 pixel augs (blur/median/gray/CLAHE) are host-only and not
 applied in device mode; HSV/bilinear use float arithmetic instead of
 OpenCV's uint8 LUTs / 5-bit fixed-point taps (<=1-2 LSB differences).
+For PLAIN (non-mosaic) samples two more, both self-consistent with the
+labels: HSV runs on the padded frame, so the 114 border picks up the
+value gain (the host pads after HSV; mosaic samples match the host, whose
+post-affine frame already contains gray when HSV hits it), and flips run
+after the centered pad, shifting content+labels together by 1 px when the
+pad is odd (host flips the unpadded image).
 
 Buffer contract (see the planner): tile slots are only read inside their
 valid (h, w) region except slot 4 (mixup), whose full (H, W) extent is
-sampled with edge-clamp — the planner zero-fills slot 4's margin to
-reproduce the reference's zero pad. Other slots may hold stale bytes.
+sampled with edge-clamp — the loader fills slot 4's margin with 114 to
+reproduce the reference's gray letterbox canvas (mosiac_dataset.py:177-254
+cp_img = np.full(..., 114)); the zero pad OUTSIDE the jit-resized canvas
+is the warp's ok-mask. Other slots may hold stale bytes.
 """
 
 from __future__ import annotations
@@ -277,7 +285,14 @@ def _label_count(dataset, idx: int) -> int:
     cache/annotation table instead)."""
     labs = getattr(dataset, "labels", None)  # YOLODataset cache rows
     if labs is not None:
-        return len(labs[idx])
+        rows = labs[idx]
+        # cache rows are pre-filter [cls, cxn, cyn, wn, hn]; apply the
+        # dataset's class filter so the mixup retry gate matches what
+        # load_anno would return (COCODataset's table is already filtered)
+        fc = getattr(dataset, "filter_classes", None)
+        if fc and len(rows):
+            return int(np.isin(rows[:, 0], fc).sum())
+        return len(rows)
     annos = getattr(dataset, "annotations", None)  # COCODataset table
     if annos is not None:
         return len(annos[idx][0])

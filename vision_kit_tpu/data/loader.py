@@ -171,7 +171,11 @@ class TrainLoader:
             self._batch_fn = partial(_make_batch, self.mosaic_ds,
                                      self.pipeline)
         self.num_workers = int(num_workers)
-        self.prefetch = prefetch
+        # queue.Queue(maxsize=0) is UNBOUNDED — a free-running producer, not
+        # "no prefetch"; clamp so prefetch<=0 means minimal lookahead (one
+        # queued batch + one in production)
+        self.prefetch = max(1, int(prefetch))
+        prefetch = self.prefetch
         # fault the batch working set in once (live buffers: queued +
         # in-production + consumer-held) — see _malloc.prefault_arena
         _malloc.prefault_arena(
@@ -385,8 +389,13 @@ def _make_device_batch(planner, index_stream, batch_size, img_size,
         for t, img in enumerate(tile_imgs):
             if img is None:
                 continue
-            if t == 4:  # mixup margin must read as the reference's 0-pad
-                tiles[k, 4] = 0
+            if t == 4:
+                # the mixup source is letterboxed onto a 114-gray canvas in
+                # the reference (mosiac_dataset.py:177-254 cp_img
+                # np.full(..., 114)); the region OUTSIDE the jit-resized
+                # canvas is zero, but that is the warp's ok-mask, not the
+                # buffer — the in-canvas margin must read gray
+                tiles[k, 4] = 114
             th, tw = img.shape[:2]
             tiles[k, t, :th, :tw] = img
     return {

@@ -55,8 +55,9 @@ class Trainer:
         # one seed drives model init, the loader's index stream and every
         # per-sample augmentation rng (counterpart of the reference's
         # pl.seed_everything, scripts/main.py:113); CLI --seed lands here
-        self.seed = int(seed if seed is not None
-                        else getattr(cfg.data, "seed", 21) or 21)
+        if seed is None:
+            seed = getattr(cfg.data, "seed", None)  # cfg seed 0 is valid
+        self.seed = int(seed) if seed is not None else 21
         # bf16 compute / fp32 params by default — the TPU counterpart of the
         # reference's AMP fp16 training (scripts/main.py:41 precision=16).
         # Set model.precision: fp32 in the config to disable.

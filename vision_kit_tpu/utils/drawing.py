@@ -66,7 +66,10 @@ def grid_save(images: np.ndarray, targets, path: str, max_images: int = 16):
         img = images[i]
         if img.dtype != np.uint8:
             img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
-        img = np.ascontiguousarray(img)
+        # Always copy: ascontiguousarray on an already-contiguous slice is a
+        # view, and cv2.rectangle below would deface the caller's batch (the
+        # trainer draws the grid BEFORE the batch is evaluated).
+        img = np.array(img, copy=True)
         t = np.asarray(targets[i])
         t = t[t[:, 0] >= 0]
         for row in t:
