@@ -44,6 +44,9 @@ def main():
     from vision_kit_tpu.classes import COCO
     from vision_kit_tpu.predictor import Predictor
     from vision_kit_tpu.utils.drawing import Drawing
+    from vision_kit_tpu.utils.jax_platform import honor_platform_env
+
+    honor_platform_env()  # explicit JAX_PLATFORMS=cpu must win (see module)
 
     parser = argparse.ArgumentParser("vision-kit-tpu demo")
     parser.add_argument("--path", "-p", type=str, required=True,
