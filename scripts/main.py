@@ -126,14 +126,19 @@ if __name__ == "__main__":
     parser.add_argument("--config", "-c", type=str,
                         default="./configs/yolov5.yaml")
     parser.add_argument("--ckpt-dir", "-d", type=str, default=None)
-    parser.add_argument("--seed", "-s", type=int, default=21)
+    # default None so a config's data.seed is honored; 21 is the final
+    # fallback (the reference's pl.seed_everything(21), scripts/main.py:113)
+    parser.add_argument("--seed", "-s", type=int, default=None)
     opt = parser.parse_args()
 
     import numpy as np
 
+    cfg = load_config(opt.config)
+    if opt.seed is None:
+        cfg_seed = getattr(cfg.data, "seed", None)
+        opt.seed = int(cfg_seed) if cfg_seed is not None else 21
     np.random.seed(opt.seed)
 
-    cfg = load_config(opt.config)
     output_dir = mk_output_dir(cfg.data.output_dir, cfg.model.name, opt.task)
     setup_logger(output_dir)
     cfg.data.output_dir = output_dir

@@ -27,6 +27,8 @@ from vision_kit_tpu.data.device_aug import (
     P_HSV_V,
     P_MIX_FLIP,
     P_MIX_JIT,
+    P_MIX_OH,
+    P_MIX_OW,
     P_MIX_W,
     P_MIX_XOFF,
     P_MIX_YOFF,
@@ -47,6 +49,7 @@ def base_params():
     p[P_SCALE] = 1.0
     p[[P_HSV_H, P_HSV_S, P_HSV_V]] = 1.0
     p[P_MIX_JIT] = 1.0
+    p[P_MIX_OW] = p[P_MIX_OH] = S
     return p
 
 
@@ -169,6 +172,7 @@ def test_mixup_vs_numpy_oracle(jit_s, flip):
     y_off = max(oh - S, 0) // 3
     p[P_MIX_W] = 0.5
     p[P_MIX_JIT] = jit_s
+    p[P_MIX_OW], p[P_MIX_OH] = ow, oh
     p[P_MIX_FLIP] = float(flip)
     p[P_MIX_XOFF], p[P_MIX_YOFF] = x_off, y_off
 
@@ -195,6 +199,7 @@ def base_params_like(p):
     q = p.copy()
     q[P_MIX_W] = 0.0
     q[P_MIX_JIT] = 1.0
+    q[P_MIX_OW] = q[P_MIX_OH] = S
     q[P_MIX_FLIP] = 0.0
     q[P_MIX_XOFF] = q[P_MIX_YOFF] = 0.0
     return q

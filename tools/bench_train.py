@@ -69,7 +69,7 @@ def main():
     if use_daug:
         from vision_kit_tpu.data.device_aug import (
             N_PARAMS, N_TILES, P_HSV_H, P_HSV_S, P_HSV_V, P_MIX_JIT,
-            P_MIX_W, P_SCALE, P_TX, P_TY, P_XC, P_YC,
+            P_MIX_OH, P_MIX_OW, P_MIX_W, P_SCALE, P_TX, P_TY, P_XC, P_YC,
         )
 
         n_tiles = 4 if "nomix" in sys.argv[1:] else N_TILES
@@ -91,6 +91,8 @@ def main():
         params[:, P_HSV_V] = rng.uniform(0.6, 1.4, batch)
         params[:, P_MIX_W] = 0.5
         params[:, P_MIX_JIT] = rng.uniform(1.0, 1.5, batch)
+        params[:, P_MIX_OW] = (size * params[:, P_MIX_JIT]).astype(int)
+        params[:, P_MIX_OH] = params[:, P_MIX_OW]
         data = {
             "tiles": jnp.asarray(tiles),
             "tile_hw": jnp.asarray(tile_hw),

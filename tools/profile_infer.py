@@ -105,7 +105,7 @@ def capture_train(trace_dir: str, batch: int, chunk: int,
     if device_aug:
         from vision_kit_tpu.data.device_aug import (
             N_PARAMS, N_TILES, P_HSV_H, P_HSV_S, P_HSV_V, P_MIX_JIT,
-            P_MIX_W, P_SCALE, P_TX, P_TY, P_XC, P_YC,
+            P_MIX_OH, P_MIX_OW, P_MIX_W, P_SCALE, P_TX, P_TY, P_XC, P_YC,
         )
 
         tiles = jnp.asarray(rng.integers(
@@ -121,6 +121,8 @@ def capture_train(trace_dir: str, batch: int, chunk: int,
         params[:, [P_HSV_S, P_HSV_V]] = rng.uniform(0.6, 1.4, (batch, 2))
         params[:, P_MIX_W] = 0.5
         params[:, P_MIX_JIT] = rng.uniform(1.0, 1.5, batch)
+        params[:, P_MIX_OW] = (size * params[:, P_MIX_JIT]).astype(int)
+        params[:, P_MIX_OH] = params[:, P_MIX_OW]
         params = jnp.asarray(params)
 
         base = {"tiles": tiles, "tile_hw": tile_hw, "params": params,

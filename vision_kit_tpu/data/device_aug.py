@@ -94,7 +94,12 @@ P_MIX_JIT = 11   # mixup jit scale
 P_MIX_XOFF = 12  # mixup crop offset x (int-valued)
 P_MIX_YOFF = 13  # mixup crop offset y
 P_MIX_FLIP = 14  # mixup lr flip 0/1
-N_PARAMS = 16    # padded
+P_MIX_OW = 15    # mixup resized width  = host's int(W*jit) (shipped, not
+P_MIX_OH = 16    # mixup resized height   re-derived: floor(f32(W*jit)) can
+#                  land one past/short of the float64 host value right at
+#                  integer crossings, shifting the flip axis and crop mask
+#                  1 px off the labels)
+N_PARAMS = 17
 
 N_TILES = 5      # 4 mosaic quadrants + 1 mixup source
 
@@ -239,10 +244,10 @@ def warp_augment(tiles, tile_hw, params, dtype=jnp.float32):
 
 
 def _apply_mixup(out, tiles, p, xo, yo, ii, jj, H, W, dtype):
-    jit_s = p[:, P_MIX_JIT]
-    jit_safe = jnp.where(jit_s > 0, jit_s, 1.0)
-    ow = jnp.floor(W * jit_safe)  # int(W*jit): resized width
-    oh = jnp.floor(H * jit_safe)
+    # int(W*jit)/int(H*jit), computed by the planner in float64 and shipped
+    # (see P_MIX_OW) so device geometry matches the host label math exactly
+    ow = jnp.maximum(p[:, P_MIX_OW], 1.0)
+    oh = jnp.maximum(p[:, P_MIX_OH], 1.0)
     xr = xo[None, :] + p[:, P_MIX_XOFF, None]  # (B, W)
     yr = yo[None, :] + p[:, P_MIX_YOFF, None]  # (B, H)
     flip = p[:, P_MIX_FLIP, None] > 0.5
@@ -250,8 +255,8 @@ def _apply_mixup(out, tiles, p, xo, yo, ii, jj, H, W, dtype):
     # cv2.resize half-pixel convention, with the ACTUAL dst/src ratio
     # (ow = int(W*jit) truncates, so the effective scale is ow/W, not jit);
     # clamping the source coordinate into range == cv2's border replicate
-    xs = (xf + 0.5) * (W / jnp.maximum(ow[:, None], 1.0)) - 0.5
-    ys = (yr + 0.5) * (H / jnp.maximum(oh[:, None], 1.0)) - 0.5
+    xs = (xf + 0.5) * (W / ow[:, None]) - 0.5
+    ys = (yr + 0.5) * (H / oh[:, None]) - 0.5
     Am = _tri(
         jnp.clip(ys, 0.0, H - 1.0)[:, :, None] - ii[None, None, :]
     )                                                             # (B,H,H)
@@ -293,9 +298,9 @@ def _label_count(dataset, idx: int) -> int:
         if fc and len(rows):
             return int(np.isin(rows[:, 0], fc).sum())
         return len(rows)
-    annos = getattr(dataset, "annotations", None)  # COCODataset table
-    if annos is not None:
-        return len(annos[idx][0])
+    items = getattr(dataset, "items", None)  # COCODataset table
+    if items is not None:
+        return len(items[idx]["labels"])
     return len(dataset.load_anno(idx))
 
 
@@ -407,6 +412,7 @@ class DeviceAugPlanner:
         tile_hw = np.zeros((self.n_tiles, 2), np.int32)
         params[P_SCALE] = 1.0
         params[P_MIX_JIT] = 1.0
+        params[P_MIX_OW], params[P_MIX_OH] = W, H
         tile_imgs: list = [None] * self.n_tiles
 
         if draws["mosaic"]:
@@ -501,6 +507,7 @@ class DeviceAugPlanner:
         x_off = int(rng.integers(0, ow - W)) if ow > W else 0
         params[P_MIX_W] = 0.5
         params[P_MIX_JIT] = jit
+        params[P_MIX_OW], params[P_MIX_OH] = ow, oh
         params[P_MIX_FLIP] = float(flip)
         params[P_MIX_XOFF] = x_off
         params[P_MIX_YOFF] = y_off

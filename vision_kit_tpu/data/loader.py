@@ -352,8 +352,11 @@ def _make_device_batch(planner, index_stream, batch_size, img_size,
     the pixel warp is left to the train step (data/device_aug.py).
 
     Yields {"tiles" (B, T, S, S, 3) u8, "tile_hw" (B, T, 2) i32,
-    "params" (B, 16) f32, "targets" (B, M, 5)} with T = planner.n_tiles
-    (5 with mixup, else 4 — the warp statically skips the mixup leg)."""
+    "params" (B, N_PARAMS) f32, "targets" (B, M, 5)} with T =
+    planner.n_tiles (5 with mixup, else 4 — the warp statically skips the
+    mixup leg)."""
+    from vision_kit_tpu.data.device_aug import N_PARAMS
+
     n_tiles = planner.n_tiles
     h_sz, w_sz = img_size
     plans, decode_idxs, spans = [], [], []
@@ -377,7 +380,7 @@ def _make_device_batch(planner, index_stream, batch_size, img_size,
     # (device_aug.py buffer contract) — except slot 4, zeroed below
     tiles = np.empty((batch_size, n_tiles, h_sz, w_sz, 3), np.uint8)
     tile_hw = np.zeros((batch_size, n_tiles, 2), np.int32)
-    params = np.zeros((batch_size, 16), np.float32)
+    params = np.zeros((batch_size, N_PARAMS), np.float32)
     labels_list = []
     for k, (draws, (off, n)) in enumerate(zip(plans, spans)):
         p_row, hw_row, labels, tile_imgs = planner.finalize(

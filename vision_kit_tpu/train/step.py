@@ -59,7 +59,8 @@ def make_train_step(model, loss_fn: YoloLoss, tx, mesh=None, donate=True,
 
     batch: {"image": (B, H, W, 3) float in [0,1], "targets": (B, M, 5)};
     with device_aug=True instead {"tiles": (B, 5, H, W, 3) uint8,
-    "tile_hw": (B, 5, 2) int32, "params": (B, 16) float32, "targets"} and
+    "tile_hw": (B, 5, 2) int32, "params": (B, N_PARAMS) float32,
+    "targets"} and
     the mosaic/mixup/HSV/flip warp (data/device_aug.py) runs on-device at
     the head of the step, fused into the same XLA program as the model
     (augmentation is computed for the full batch before any accum_steps

@@ -583,18 +583,25 @@ class Trainer:
         try:
             from vision_kit_tpu.utils.drawing import grid_save
 
+            targets = batch["targets"]
             if "image" in batch:
                 images = batch["image"]
             else:  # device-aug batch: materialize the warp once for the grid
                 from vision_kit_tpu.data.device_aug import warp_augment
 
+                # only the grid's worth of images — the un-jitted warp on the
+                # full batch would stage multi-GB f32 intermediates (and one
+                # tunneled dispatch per op) to render 16 thumbnails
+                n = min(16, len(targets))
                 images = np.asarray(
-                    warp_augment(
-                        batch["tiles"], batch["tile_hw"], batch["params"]
+                    jax.jit(warp_augment)(
+                        batch["tiles"][:n], batch["tile_hw"][:n],
+                        batch["params"][:n],
                     )
                 )
+                targets = targets[:n]
             grid = grid_save(
-                images, batch["targets"],
+                images, targets,
                 os.path.join(self.output_dir, f"{split}.jpg"),
             )
             self._log_image(f"samples/{split}", grid, step)
