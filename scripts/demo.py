@@ -44,9 +44,13 @@ def main():
     from vision_kit_tpu.classes import COCO
     from vision_kit_tpu.predictor import Predictor
     from vision_kit_tpu.utils.drawing import Drawing
-    from vision_kit_tpu.utils.jax_platform import honor_platform_env
+    from vision_kit_tpu.utils.jax_platform import (
+        honor_platform_env,
+        setup_compilation_cache,
+    )
 
     honor_platform_env()  # explicit JAX_PLATFORMS=cpu must win (see module)
+    setup_compilation_cache()  # repeat runs skip the multi-minute compile
 
     parser = argparse.ArgumentParser("vision-kit-tpu demo")
     parser.add_argument("--path", "-p", type=str, required=True,

@@ -16,12 +16,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from vision_kit_tpu.utils.config import load_config
 from vision_kit_tpu.utils.general import mk_output_dir, update_loss_cfg
-from vision_kit_tpu.utils.jax_platform import honor_platform_env
+from vision_kit_tpu.utils.jax_platform import (
+    honor_platform_env,
+    setup_compilation_cache,
+)
 from vision_kit_tpu.utils.logging_utils import logger, setup_logger
 
 
 def main(cfg, opt):
     honor_platform_env()  # explicit JAX_PLATFORMS=cpu must win (see module)
+    setup_compilation_cache()  # repeat runs skip the multi-minute compile
 
     from vision_kit_tpu.parallel.distributed import init_distributed
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["honor_platform_env"]
+__all__ = ["honor_platform_env", "setup_compilation_cache"]
 
 
 def honor_platform_env() -> None:
@@ -49,3 +49,35 @@ def honor_platform_env() -> None:
             _xb._backend_factories.pop("axon", None)
     except Exception:
         pass
+
+
+def setup_compilation_cache(base_dir: str | None = None) -> str:
+    """Persistent XLA compilation cache for the CLI entry points.
+
+    First compiles are minutes (remote compile over the TPU tunnel; or a
+    single-core CPU build under JAX_PLATFORMS=cpu) — repeat train/eval/demo
+    invocations should not pay that again. Same scheme as tests/conftest.py:
+    the cache dir is keyed by host identity because serialized XLA:CPU
+    executables from a different machine incarnation can load with
+    mismatched feature sets (SIGILL). Returns the directory used.
+    Override the base with VK_JAX_CACHE_DIR; entries are keyed by platform,
+    so CPU and TPU runs share the tree safely.
+    """
+    import hashlib
+    import platform as _platform
+
+    import jax
+
+    base = base_dir or os.environ.get(
+        "VK_JAX_CACHE_DIR", os.path.join(os.getcwd(), ".jax_cache")
+    )
+    tag = hashlib.md5(
+        (_platform.machine() + _platform.release()).encode()
+    ).hexdigest()[:8]
+    cache_dir = os.path.join(base, tag)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    return cache_dir
