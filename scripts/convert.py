@@ -1,4 +1,4 @@
-"""Weight converter CLI: torch `.pt`/`.ckpt` -> flax `.msgpack`.
+"""Weight converter CLI: torch `.pt`/`.ckpt` <-> flax `.msgpack`.
 
 Counterpart of reference scripts/convert.py. The reference pulls upstream
 ultralytics/WongKinYiu weights via torch.hub and zip-maps state_dict keys by
@@ -6,6 +6,11 @@ declaration order (convert.py:22-23); this environment has no network, so
 this tool converts *local* checkpoint files, using the structural key
 translation in vision_kit_tpu.convert (OIHW->HWIO transpose, BN split,
 anchor-buffer drop) with full shape checking.
+
+`--to-torch` runs the other direction: a `.msgpack` weights file becomes a
+reference-loadable `{"model": state_dict}` `.pt` (fp16 like the reference's
+save, convert.py:27; `--fp32` keeps full precision), giving a path back to
+the torch/ONNX export ecosystem (docs/MIGRATION.md "Export").
 """
 
 from __future__ import annotations
@@ -13,6 +18,8 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+
+import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -27,13 +34,22 @@ def main():
     parser.add_argument("--output", "-o", type=str, default=None)
     parser.add_argument("--reparameterize", action="store_true",
                         help="fold v7 implicit layers into head convs")
+    parser.add_argument("--to-torch", action="store_true",
+                        help="reverse direction: .msgpack -> torch .pt")
+    parser.add_argument("--fp32", action="store_true",
+                        help="with --to-torch, keep fp32 (default fp16)")
     args = parser.parse_args()
+
+    from vision_kit_tpu.utils.jax_platform import honor_platform_env
+
+    honor_platform_env()  # explicit JAX_PLATFORMS=cpu must win (see module)
 
     import jax
     import jax.numpy as jnp
     from flax import serialization
 
     from vision_kit_tpu.convert import (
+        flax_to_torch,
         load_torch_checkpoint,
         reparameterize_v7,
         torch_to_flax,
@@ -48,6 +64,19 @@ def main():
     template = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=False
     )
+
+    if args.to_torch:
+        import torch
+
+        with open(args.weights, "rb") as f:
+            variables = serialization.from_bytes(template, f.read())
+        sd = flax_to_torch(variables, half=not args.fp32)
+        out = args.output or os.path.splitext(args.weights)[0] + ".pt"
+        torch.save({"model": {k: torch.from_numpy(np.ascontiguousarray(v))
+                              for k, v in sd.items()}}, out)
+        print(f"converted {args.weights} -> {out}")
+        return
+
     sd = load_torch_checkpoint(args.weights)
     variables = torch_to_flax(sd, template=template)
     if args.reparameterize and args.model == "yolov7":

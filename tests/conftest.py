@@ -41,14 +41,10 @@ except Exception:
 # key the cache by host CPU identity: serialized XLA:CPU executables from a
 # previous machine incarnation load with mismatched feature sets ("Loading
 # XLA:CPU AOT result ... could lead to execution errors such as SIGILL")
-import hashlib as _hashlib
-import platform as _platform
+from vision_kit_tpu.utils.jax_platform import host_cache_tag as _host_cache_tag
 
-_machine_tag = _hashlib.md5(
-    (_platform.machine() + _platform.release()).encode()
-).hexdigest()[:8]
 jax.config.update(
-    "jax_compilation_cache_dir", f"/root/repo/.jax_cache/{_machine_tag}"
+    "jax_compilation_cache_dir", f"/root/repo/.jax_cache/{_host_cache_tag()}"
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

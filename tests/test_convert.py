@@ -9,10 +9,12 @@ import jax.numpy as jnp
 
 from vision_kit_tpu.convert import (
     _translate_key,
+    _untranslate_name,
+    flax_to_torch,
     load_torch_checkpoint,
     torch_to_flax,
 )
-from vision_kit_tpu.models import YOLOV5
+from vision_kit_tpu.models import YOLOV5, YOLOV7
 
 
 def test_translate_key():
@@ -26,6 +28,78 @@ def test_translate_key():
         "backbone", "stage2_1", "conv1", "conv", "weight"
     ]
     assert _translate_key("backbone.stem.bn.num_batches_tracked") is None
+
+
+def test_untranslate_name():
+    # Sequential index: `stage1_0` splits because `stage1_0` (index 0) exists
+    sibs = {"stage1_0", "stage1_1", "stem"}
+    assert _untranslate_name("stage1_1", sibs) == ["stage1", "1"]
+    assert _untranslate_name("stage1_0", sibs) == ["stage1", "0"]
+    # v7 literal attribute (yolov7.py:60): no `stage2_0` sibling -> no split
+    sibs = {"stage2", "stage2_1", "stage3"}
+    assert _untranslate_name("stage2_1", sibs) == ["stage2_1"]
+    # non-digit suffix untouched
+    assert _untranslate_name("rbr_1x1", {"rbr_1x1", "rbr_dense"}) == ["rbr_1x1"]
+
+
+@pytest.mark.parametrize("family,variant", [("v5", "n"), ("v7", "base")])
+def test_reverse_roundtrip_bitexact(family, variant):
+    """flax -> torch -> flax is the identity on a random-init model."""
+    if family == "v5":
+        model = YOLOV5(variant=variant, num_classes=7)
+    else:
+        model = YOLOV7(variant=variant, num_classes=7, deploy=False)
+    variables = model.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 3)), training=False
+    )
+    sd = flax_to_torch(variables, half=False)
+    back = torch_to_flax(sd, template=variables, strict=True)
+    for a, b in zip(jax.tree_util.tree_leaves(variables),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("family", ["v5", "v7"])
+def test_reverse_strict_loads_into_reference(reference, family):
+    """The reverse-converted state_dict strict-loads into the reference torch
+    model (key-for-key coverage incl. num_batches_tracked) and the two models
+    then agree on a forward pass."""
+    import torch
+    from conftest import reset_reference_defaults
+
+    if family == "v5":
+        from vision_kit.models.architectures.yolov5 import YOLOV5 as Ref
+        reset_reference_defaults()
+        torch_model = Ref(variant="n", num_classes=7)
+        reset_reference_defaults()
+        jax_model = YOLOV5(variant="n", num_classes=7,
+                           decode_order="reference")
+    else:
+        from vision_kit.models.architectures.yolov7 import YOLOV7 as Ref
+        reset_reference_defaults()
+        torch_model = Ref(variant="base", num_classes=7, deploy=False)
+        reset_reference_defaults()
+        jax_model = YOLOV7(variant="base", num_classes=7, deploy=False,
+                           decode_order="reference")
+
+    variables = jax_model.init(
+        jax.random.PRNGKey(4), jnp.zeros((1, 64, 64, 3)), training=False
+    )
+    sd = flax_to_torch(variables, half=False)
+    torch_model.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True,
+    )
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 1, size=(1, 128, 128, 3)).astype(np.float32)
+    torch_model.eval()
+    with torch.no_grad():
+        ref_out = torch_model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    got_out = jax_model.apply(variables, jnp.asarray(x), training=False)
+    np.testing.assert_allclose(
+        np.asarray(got_out[0]), ref_out[0].numpy(), rtol=1e-3, atol=5e-3
+    )
 
 
 def test_full_model_roundtrip(reference):

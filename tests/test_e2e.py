@@ -153,6 +153,26 @@ def test_trainer_cycle(tmp_path):
         np.asarray(jax.tree_util.tree_leaves(jax.device_get(trainer2.state.params))[0]),
         np.asarray(jax.tree_util.tree_leaves(jax.device_get(trainer.state.params))[0]),
     )
+
+    # export-path weight extraction: load_weights on a TRAINER checkpoint
+    # (full TrainState on disk) must pull the EMA weights into a bare
+    # variables template — regression: this crashed with an orbax structure
+    # mismatch, breaking `main.py export --ckpt-dir`
+    from vision_kit_tpu.predictor import load_weights
+
+    model = YOLOV5(variant="n", num_classes=2)
+    template = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)), training=False
+    )
+    loaded = load_weights(
+        os.path.join(cfg.data.output_dir, "ckpts", "last"), template
+    )
+    ema_tree = jax.device_get(trainer.state.ema.tree)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(loaded["params"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(ema_tree["params"])[0]),
+    )
+
     trainer.train_loader.close()
     trainer2.train_loader.close()
 

@@ -115,7 +115,16 @@ def _differential(torch_model, jax_model, variables, n_images):
         ).float()
         with torch.no_grad():
             out = torch_model(xb)
-        preds = ref_nms(out[0], CONF, IOU, multi_label=True)
+        # Per-image ref_nms calls: the reference nms has a WALL-CLOCK budget
+        # (time_limit = 0.3+0.03*bs, image_proc.py:109,183-185) after which
+        # it silently leaves remaining images with zero detections — on a
+        # loaded 1-core host a batch call can trip it and fail the mAP
+        # comparison spuriously. Each image's output is stored BEFORE the
+        # time check, so per-image calls are exactly equivalent and immune.
+        preds = [
+            ref_nms(out[0][k:k + 1], CONF, IOU, multi_label=True)[0]
+            for k in range(BATCH)
+        ]
         trows = []
         for k in range(BATCH):
             g = gts[s + k]

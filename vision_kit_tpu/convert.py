@@ -16,6 +16,7 @@ Also implements the deploy-time parameter foldings as pure pytree math:
 
 from __future__ import annotations
 
+import re
 from typing import Any, Mapping
 
 import numpy as np
@@ -153,6 +154,96 @@ def _walk_missing(tnode, gnode, prefix):
     for k, v in tnode.items():
         missing += _walk_missing(v, gnode.get(k, {}) if isinstance(gnode, Mapping) else {}, prefix + (k,))
     return missing
+
+
+# ---------------------------------------------------------------------------
+# Reverse conversion: Flax variables -> torch state_dict
+# ---------------------------------------------------------------------------
+
+_DIGIT_SUFFIX = re.compile(r"^(.*)_(\d+)$")
+
+
+def _untranslate_name(name: str, siblings: set[str]) -> list[str]:
+    """One flax module name -> torch dotted parts (inverse of _translate_key).
+
+    _translate_key merges every pure-digit torch part into its predecessor
+    (`stage1.0` -> `stage1_0`), but the reference ALSO has literal attribute
+    names with digit suffixes (v7 backbone `stage2_1`, yolov7.py:60-72) that
+    collide with that encoding. Disambiguation: a torch Sequential/ModuleList
+    index always has an index-0 sibling, so `base_N` splits into `base.N`
+    only when `base_0` is among the node's siblings (`stage1_1` splits
+    because `stage1_0` exists; `stage2_1` stays literal because `stage2_0`
+    doesn't). Applied repeatedly for nested containers. Round-trip identity
+    vs the reference models' own state_dict keys is test-enforced
+    (tests/test_convert.py).
+    """
+    m = _DIGIT_SUFFIX.match(name)
+    if m and f"{m.group(1)}_0" in siblings:
+        # Single-level split only: in these model trees a container's child
+        # is always a *named* module, so torch keys never merge two digit
+        # parts into one flax name (no `m_0_1`).
+        return [m.group(1), m.group(2)]
+    return [name]
+
+
+def flax_to_torch(variables: Mapping[str, Any], half: bool = False) -> dict:
+    """Convert Flax variables back to a torch-layout state_dict.
+
+    Inverse of `torch_to_flax`: HWIO kernels -> OIHW `weight`, BN
+    {scale,bias}+{mean,var} -> {weight,bias,running_mean,running_var} (+ a
+    zero `num_batches_tracked`, which torch BN checkpoints carry), Implicit
+    (1,1,1,C) -> (1,C,1,1). Values are numpy (fp16 when `half`, mirroring
+    the reference's `.half()` save, scripts/convert.py:27); wrap with torch
+    via `torch.save({"model": sd}, path)` for a reference-loadable artifact
+    (its `load_ckpt`, utils/model_utils.py:126-137, consumes this layout).
+
+    The static anchor/stride tables are not emitted — this package keeps
+    them static (see _leaf_entries); the reference's shape-checked partial
+    loader skips them.
+    """
+    dtype = np.float16 if half else np.float32
+    sd: dict = {}
+    bn_paths = set()
+
+    def emit(torch_parts, leaf, value, stats):
+        arr = np.asarray(value, dtype=dtype)
+        if leaf == "kernel":
+            if arr.ndim != 4:
+                raise ValueError(
+                    f"non-conv kernel at {'.'.join(torch_parts)}: ndim {arr.ndim}")
+            sd[".".join(torch_parts + ["weight"])] = arr.transpose(3, 2, 0, 1)
+        elif leaf == "scale":
+            sd[".".join(torch_parts + ["weight"])] = arr
+            bn_paths.add(tuple(torch_parts))
+        elif leaf == "bias":
+            sd[".".join(torch_parts + ["bias"])] = arr
+        elif leaf == "implicit":
+            sd[".".join(torch_parts + ["implicit"])] = arr.transpose(0, 3, 1, 2)
+        elif leaf == "mean" and stats:
+            sd[".".join(torch_parts + ["running_mean"])] = arr
+            bn_paths.add(tuple(torch_parts))
+        elif leaf == "var" and stats:
+            sd[".".join(torch_parts + ["running_var"])] = arr
+            bn_paths.add(tuple(torch_parts))
+        else:
+            raise ValueError(
+                f"Unhandled flax leaf {'.'.join(torch_parts)}/{leaf}")
+
+    def walk(node, torch_prefix, stats):
+        siblings = set(node.keys())
+        for name, child in node.items():
+            if isinstance(child, Mapping):
+                walk(child, torch_prefix + _untranslate_name(name, siblings),
+                     stats)
+            else:
+                emit(torch_prefix, name, child, stats)
+
+    walk(variables.get("params", {}), [], stats=False)
+    walk(variables.get("batch_stats", {}), [], stats=True)
+
+    for parts in bn_paths:
+        sd[".".join(parts) + ".num_batches_tracked"] = np.zeros((), np.int64)
+    return sd
 
 
 # ---------------------------------------------------------------------------

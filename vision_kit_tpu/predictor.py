@@ -246,10 +246,55 @@ def load_weights(path: str, template, partial: bool = False):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    if not partial:
-        return ckptr.restore(path, template)
-    restored = ckptr.restore(path)
-    return merge_matching(template, restored)
+    restored = ckptr.restore(path)  # untyped; structure inspected below
+    restored = _extract_weights_from_train_state(restored)
+    if partial:
+        return merge_matching(template, restored)
+    merged, skipped = _merge_counting(template, restored)
+    if skipped:
+        raise ValueError(
+            f"checkpoint {path} does not cover the model: {skipped} template "
+            "leaves missing or shape-mismatched (use partial=True for a "
+            "shape-checked partial load)"
+        )
+    return merged
+
+
+def _extract_weights_from_train_state(restored):
+    """A trainer checkpoint (train/step.py TrainState: params / batch_stats /
+    opt_state / ema / step) holds more than model weights; loading one into a
+    bare-variables template used to fail with an orbax structure mismatch.
+    Detect that layout and extract the EMA weights — eval/export uses the EMA
+    model like the reference (base_trainer.py:126-133) — falling back to the
+    raw params when the EMA was never updated."""
+    from typing import Mapping as _Mapping
+
+    if not isinstance(restored, _Mapping) or "params" not in restored:
+        return restored
+    if not ("ema" in restored and "opt_state" in restored):
+        return restored
+    ema = restored.get("ema")
+    if isinstance(ema, _Mapping) and "tree" in ema:
+        updates = np.asarray(ema.get("updates", 0))
+        if updates.size == 1 and int(updates) > 0:
+            tree = ema["tree"]
+            return {"params": tree["params"],
+                    "batch_stats": tree.get("batch_stats", {})}
+    return {"params": restored["params"],
+            "batch_stats": restored.get("batch_stats", {})}
+
+
+def _merge_counting(template, loaded):
+    """merge_matching + how many template leaves the checkpoint missed."""
+    import jax
+
+    flat_t = dict(jax.tree_util.tree_flatten_with_path(template)[0])
+    flat_l = dict(jax.tree_util.tree_flatten_with_path(loaded)[0])
+    skipped = sum(
+        1 for k, v in flat_t.items()
+        if getattr(flat_l.get(k), "shape", None) != v.shape
+    )
+    return merge_matching(template, loaded), skipped
 
 
 def merge_matching(template, loaded):

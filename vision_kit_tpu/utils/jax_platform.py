@@ -24,7 +24,36 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["honor_platform_env", "setup_compilation_cache"]
+__all__ = ["honor_platform_env", "host_cache_tag", "setup_compilation_cache"]
+
+
+def host_cache_tag() -> str:
+    """Cache-directory tag identifying this host's CPU capabilities.
+
+    kernel release + arch alone is NOT enough: two VM incarnations on
+    different physical CPUs can share both, and a persisted XLA:CPU AOT
+    executable compiled on the other machine then loads here with
+    mismatched feature sets ("Loading XLA:CPU AOT result ... could lead to
+    execution errors such as SIGILL" — observed in practice with
+    prefer-no-gather / avx feature diffs). Key by the actual CPU feature
+    flags from /proc/cpuinfo so a different microarchitecture gets a fresh
+    cache subtree.
+    """
+    import hashlib
+    import platform as _platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    return hashlib.md5(
+        (_platform.machine() + _platform.release() + flags).encode()
+    ).hexdigest()[:8]
 
 
 def honor_platform_env() -> None:
@@ -63,18 +92,12 @@ def setup_compilation_cache(base_dir: str | None = None) -> str:
     Override the base with VK_JAX_CACHE_DIR; entries are keyed by platform,
     so CPU and TPU runs share the tree safely.
     """
-    import hashlib
-    import platform as _platform
-
     import jax
 
     base = base_dir or os.environ.get(
         "VK_JAX_CACHE_DIR", os.path.join(os.getcwd(), ".jax_cache")
     )
-    tag = hashlib.md5(
-        (_platform.machine() + _platform.release()).encode()
-    ).hexdigest()[:8]
-    cache_dir = os.path.join(base, tag)
+    cache_dir = os.path.join(base, host_cache_tag())
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
