@@ -87,6 +87,36 @@ def test_v7_full_deploy_parity(rng):
     )
 
 
+def test_load_weights_autofolds_training_ckpt_into_deploy(rng, tmp_path):
+    """load_weights on TRAINING weights with a DEPLOY template applies the
+    RepConv fusion + implicit reparameterization automatically (the
+    reference demo's behavior, scripts/demo.py:32-45). Regression: v7x's
+    deploy tree differs from training only by the head implicits, so
+    without the fold the strict load would pass and silently produce
+    wrong outputs."""
+    from flax import serialization
+
+    from vision_kit_tpu.predictor import load_weights
+
+    x = jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32))
+
+    model = YOLOV7(variant="base", num_classes=7, deploy=False)
+    variables = model.init(jax.random.PRNGKey(2), x, training=False)
+    ref_decoded, _ = model.apply(variables, x, training=False)
+
+    path = str(tmp_path / "train_weights.msgpack")
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(variables)))
+
+    deploy_model = YOLOV7(variant="base", num_classes=7, deploy=True)
+    template = deploy_model.init(jax.random.PRNGKey(3), x, training=False)
+    loaded = load_weights(path, template)
+    got_decoded, _ = deploy_model.apply(loaded, x, training=False)
+    np.testing.assert_allclose(
+        np.asarray(got_decoded), np.asarray(ref_decoded), rtol=2e-3, atol=2e-3
+    )
+
+
 def test_savedmodel_export_roundtrip(tmp_path):
     """jax2tf SavedModel export (the ONNX-export analog): save, reload,
     numerical agreement with the jitted forward."""

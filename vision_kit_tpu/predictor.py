@@ -225,32 +225,29 @@ def load_weights(path: str, template, partial: bool = False):
     if path.endswith((".pt", ".pth", ".ckpt")):
         from vision_kit_tpu.convert import load_torch_checkpoint, torch_to_flax
 
-        loaded = torch_to_flax(
-            load_torch_checkpoint(path), template=template, strict=not partial
-        )
-        if partial:
-            loaded = merge_matching(template, loaded)
-        return loaded
-    if path.endswith(".msgpack"):
+        # untyped conversion first: deploy folding below may legitimately
+        # reshape the tree before it is checked against the template
+        loaded = torch_to_flax(load_torch_checkpoint(path))
+    elif path.endswith(".msgpack"):
         from flax import serialization
 
         with open(path, "rb") as f:
             data = f.read()
-        if not partial:
-            return serialization.from_bytes(template, data)
-        # untyped restore + shape-checked merge (from_bytes does not check
-        # leaf shapes, so it cannot implement partial semantics)
+        # untyped restore (from_bytes does not check leaf shapes, so it
+        # cannot implement partial/fold semantics)
         loaded = serialization.msgpack_restore(data)
-        return merge_matching(template, loaded)
-    # orbax checkpoint dir
-    import orbax.checkpoint as ocp
+    else:
+        # orbax checkpoint dir
+        import orbax.checkpoint as ocp
 
-    ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path)  # untyped; structure inspected below
-    restored = _extract_weights_from_train_state(restored)
+        ckptr = ocp.StandardCheckpointer()
+        loaded = ckptr.restore(path)  # untyped; structure inspected below
+        loaded = _extract_weights_from_train_state(loaded)
+
+    loaded = _maybe_deploy_fold(loaded, template)
     if partial:
-        return merge_matching(template, restored)
-    merged, skipped = _merge_counting(template, restored)
+        return merge_matching(template, loaded)
+    merged, skipped = _merge_counting(template, loaded)
     if skipped:
         raise ValueError(
             f"checkpoint {path} does not cover the model: {skipped} template "
@@ -258,6 +255,47 @@ def load_weights(path: str, template, partial: bool = False):
             "shape-checked partial load)"
         )
     return merged
+
+
+def _maybe_deploy_fold(loaded, template):
+    """Training weights loaded into a DEPLOY-mode template are folded
+    automatically, like the reference demo does (scripts/demo.py:32-45:
+    v7 `reparameterization` before inference):
+
+    * checkpoint has RepConv branches (`rbr_dense`) but the template wants
+      `rbr_reparam` -> fuse the branches (convert.fuse_repconv_params);
+    * checkpoint has head Implicit layers (`ia_0`) but the template's head
+      doesn't -> fold them into the head convs (convert.reparameterize_v7).
+
+    Without this, v7x (whose deploy tree differs from training ONLY by the
+    implicits — its neck has no RepConv) would strict-load training weights
+    and silently skip the fold, producing wrong outputs."""
+    from typing import Mapping as _Mapping
+
+    if not isinstance(loaded, _Mapping) or "params" not in loaded:
+        return loaded
+    tparams = template.get("params", {}) if isinstance(template, _Mapping) else {}
+
+    def has_key(node, key):
+        if not isinstance(node, _Mapping):
+            return False
+        if key in node:
+            return True
+        return any(has_key(v, key) for v in node.values())
+
+    if has_key(loaded["params"], "rbr_dense") and has_key(tparams, "rbr_reparam"):
+        from vision_kit_tpu.convert import fuse_repconv_params
+
+        loaded = fuse_repconv_params(loaded)
+    lhead = loaded["params"].get("head", {})
+    thead = tparams.get("head", {}) if isinstance(tparams, _Mapping) else {}
+    if (isinstance(lhead, _Mapping) and "ia_0" in lhead
+            and isinstance(thead, _Mapping) and "ia_0" not in thead
+            and "m_0" in thead):
+        from vision_kit_tpu.convert import reparameterize_v7
+
+        loaded = reparameterize_v7(loaded)
+    return loaded
 
 
 def _extract_weights_from_train_state(restored):
