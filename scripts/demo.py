@@ -19,7 +19,7 @@ import numpy as np
 
 
 def load_model(model_name: str, variant: str, weights: str | None,
-               num_classes: int = 80):
+               num_classes: int = 80, img_size: tuple[int, int] = (640, 640)):
     import jax
     import jax.numpy as jnp
 
@@ -33,7 +33,7 @@ def load_model(model_name: str, variant: str, weights: str | None,
     else:
         raise ValueError(model_name)
     variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 640, 640, 3)), training=False
+        jax.random.PRNGKey(0), jnp.zeros((1, *img_size, 3)), training=False
     )
     if weights:
         variables = load_weights(weights, variables)
@@ -59,17 +59,52 @@ def main():
                         choices=["yolov5", "yolov7"])
     parser.add_argument("--variant", "-v", type=str, default="s")
     parser.add_argument("--weights", "-w", type=str, default=None)
+    parser.add_argument("--config", "-c", type=str, default=None,
+                        help="training config YAML: model name/variant/"
+                             "num_classes/input_size/class_labels are read "
+                             "from it (a trained custom-dataset checkpoint "
+                             "demos with the config it was trained with)")
+    parser.add_argument("--num-classes", type=int, default=None,
+                        help="override the head's class count (default 80, "
+                             "or the config's model.num_classes)")
+    parser.add_argument("--labels", type=str, default=None,
+                        help="comma-separated class names for drawing "
+                             "(default COCO, or the config's "
+                             "data.class_labels)")
     parser.add_argument("--conf", type=float, default=0.25)
     parser.add_argument("--iou", type=float, default=0.45)
     parser.add_argument("--output", "-o", type=str, default=None)
     parser.add_argument("--show", action="store_true")
     args = parser.parse_args()
 
-    model, variables = load_model(args.model, args.variant, args.weights)
-    predictor = Predictor(
-        model, variables, conf_thres=args.conf, iou_thres=args.iou
+    model_name, variant = args.model, args.variant
+    num_classes, labels, img_size = 80, list(COCO), (640, 640)
+    if args.config:
+        from vision_kit_tpu.utils.config import load_config
+
+        cfg = load_config(args.config)
+        model_name = "yolov7" if "7" in str(cfg.model.name) else "yolov5"
+        variant = str(cfg.model.version)
+        num_classes = int(cfg.model.num_classes)
+        labels = list(cfg.data.class_labels)
+        img_size = tuple(cfg.model.input_size)
+    if args.num_classes is not None:
+        num_classes = args.num_classes
+        if len(labels) != num_classes:
+            labels = [str(i) for i in range(num_classes)]
+    if args.labels is not None:
+        labels = [s.strip() for s in args.labels.split(",") if s.strip()]
+        num_classes = len(labels) if args.num_classes is None else num_classes
+
+    model, variables = load_model(
+        model_name, variant, args.weights, num_classes=num_classes,
+        img_size=img_size,
     )
-    drawer = Drawing(COCO)
+    predictor = Predictor(
+        model, variables, img_size=img_size,
+        conf_thres=args.conf, iou_thres=args.iou,
+    )
+    drawer = Drawing(labels)
 
     from vision_kit_tpu.utils.readers import IMAGE_EXT, ImageReader, VideoReader
 

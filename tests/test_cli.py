@@ -79,3 +79,21 @@ def test_main_cli_train(tmp_path):
     run = os.path.join(out, "YOLOv5", "train", run_dirs[0])
     assert os.path.isdir(os.path.join(run, "ckpts"))
     assert os.path.isfile(os.path.join(run, "log.log"))
+
+    # demo --config leg: the trained custom-dataset weights (2 classes,
+    # 64x64) must demo with the config they were trained with — this is
+    # the reference's demo.py surface generalized past COCO-80 defaults
+    weights_dir = os.path.join(run, "weights")
+    weights = [f for f in os.listdir(weights_dir) if f.endswith(".msgpack")]
+    assert weights, os.listdir(run)
+    out_img = str(tmp_path / "demo_out.jpg")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/demo.py"),
+         "-p", os.path.join(ds, "images/val/im0.jpg"),
+         "-c", cfg, "-w", os.path.join(weights_dir, weights[0]),
+         "--conf", "0.05", "-o", out_img],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "detections in" in r.stdout, r.stdout[-2000:]
+    assert os.path.isfile(out_img)
