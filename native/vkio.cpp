@@ -27,6 +27,8 @@
 #include <opencv2/imgcodecs.hpp>
 #include <opencv2/imgproc.hpp>
 
+#include <cstdio>
+
 namespace {
 
 constexpr int kPadValue = 114;
@@ -38,30 +40,156 @@ struct LetterboxInfo {
   int ok;  // 1 = success, 0 = decode failure
 };
 
+// ---------------------------------------------------------------------------
+// Fast JPEG decode: DCT-domain reduced-scale decode (libjpeg 1/2,1/4,1/8)
+// when the target ratio allows it. Decoding at 1/f scale skips ~f^2 of the
+// IDCT + upsampling work, which dominates the single-core host input path
+// (DESIGN.md "uncached ... JPEG decode bound"). The downstream geometry is
+// unchanged: labels still scale by the TRUE source dims, read from the JPEG
+// header without decoding. Files carrying an EXIF APP1 segment fall back to
+// the exact path (cv::imread applies EXIF orientation, which the header
+// probe would have to replicate; datasets with oriented phone JPEGs keep
+// full fidelity). Mirrored bit-for-bit by the Python fallback
+// (vision_kit_tpu/data/datasets.py _fast_decode_resized).
+// ---------------------------------------------------------------------------
+
+struct JpegProbe {
+  int h0 = 0, w0 = 0;
+  bool has_exif = false;
+  bool ok = false;
+};
+
+// Scan JPEG markers for the frame dims (SOF) and EXIF presence (APP1).
+JpegProbe ProbeJpeg(const char* path) {
+  JpegProbe p;
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return p;
+  // Headers (APPn + quant/huffman + SOF) sit at the front; 256 KB covers
+  // even large embedded thumbnails/ICC profiles. Not found => exact path.
+  std::vector<uint8_t> buf(256 * 1024);
+  const size_t n = std::fread(buf.data(), 1, buf.size(), f);
+  std::fclose(f);
+  if (n < 4 || buf[0] != 0xFF || buf[1] != 0xD8) return p;  // SOI
+  size_t pos = 2;
+  while (pos + 4 <= n) {
+    if (buf[pos] != 0xFF) return p;  // desynced
+    size_t m = pos + 1;
+    while (m < n && buf[m] == 0xFF) ++m;  // fill bytes
+    if (m >= n) return p;
+    const uint8_t marker = buf[m];
+    pos = m + 1;
+    if (marker == 0xD8 || marker == 0x01 ||
+        (marker >= 0xD0 && marker <= 0xD7)) {
+      continue;  // standalone markers, no length
+    }
+    if (marker == 0xD9 || marker == 0xDA) return p;  // EOI / SOS: no SOF seen
+    if (pos + 2 > n) return p;
+    const size_t len = (static_cast<size_t>(buf[pos]) << 8) | buf[pos + 1];
+    if (len < 2 || pos + len > n) return p;
+    const uint8_t* payload = buf.data() + pos + 2;
+    const size_t plen = len - 2;
+    if (marker == 0xE1 && plen >= 6 &&
+        std::memcmp(payload, "Exif\0\0", 6) == 0) {
+      p.has_exif = true;
+    }
+    // SOF0-SOF15 except DHT(C4)/JPG(C8)/DAC(CC)
+    if (marker >= 0xC0 && marker <= 0xCF && marker != 0xC4 &&
+        marker != 0xC8 && marker != 0xCC) {
+      if (plen < 5) return p;
+      p.h0 = (payload[1] << 8) | payload[2];
+      p.w0 = (payload[3] << 8) | payload[4];
+      p.ok = p.h0 > 0 && p.w0 > 0;
+      return p;
+    }
+    pos += len;
+  }
+  return p;
+}
+
+// Largest f in {8,4,2} whose reduced decode (ceil(dim/f), libjpeg scaled
+// output) still covers the target size, i.e. only downscaling remains.
+int PickReduceFactor(int h0, int w0, int new_h, int new_w) {
+  for (int f : {8, 4, 2}) {
+    if ((h0 + f - 1) / f >= new_h && (w0 + f - 1) / f >= new_w) return f;
+  }
+  return 1;
+}
+
+// Reduced-scale decode to exactly (new_h, new_w) BGR. Returns empty Mat when
+// the fast path doesn't apply (wrong ratio, EXIF, probe/decode mismatch).
+// h0/w0 out: true source dims from the header.
+cv::Mat FastDecodeJpeg(const char* path, int max_h, int max_w, bool truncate,
+                       int* h0_out, int* w0_out, int* new_h_out,
+                       int* new_w_out) {
+  const JpegProbe p = ProbeJpeg(path);
+  if (!p.ok || p.has_exif) return {};
+  const double r = std::min(static_cast<double>(max_h) / p.h0,
+                            static_cast<double>(max_w) / p.w0);
+  if (r >= 1.0) return {};
+  // geometry of the exact paths: truncation for DecodeResize
+  // (datasets.py int(w0*r)), rounding for DecodeLetterbox
+  const int new_w = truncate ? static_cast<int>(p.w0 * r)
+                             : static_cast<int>(std::lround(p.w0 * r));
+  const int new_h = truncate ? static_cast<int>(p.h0 * r)
+                             : static_cast<int>(std::lround(p.h0 * r));
+  const int f = PickReduceFactor(p.h0, p.w0, new_h, new_w);
+  if (f < 2) return {};
+  const int flag = f == 8 ? cv::IMREAD_REDUCED_COLOR_8
+                 : f == 4 ? cv::IMREAD_REDUCED_COLOR_4
+                          : cv::IMREAD_REDUCED_COLOR_2;
+  cv::Mat bgr = cv::imread(path, flag);
+  // validate the probe against libjpeg's ceil(dim/f) scaled output
+  if (bgr.empty() || bgr.rows != (p.h0 + f - 1) / f ||
+      bgr.cols != (p.w0 + f - 1) / f) {
+    return {};
+  }
+  if (bgr.cols != new_w || bgr.rows != new_h) {
+    cv::Mat resized;
+    cv::resize(bgr, resized, cv::Size(new_w, new_h), 0, 0, cv::INTER_LINEAR);
+    bgr = resized;
+  }
+  *h0_out = p.h0;
+  *w0_out = p.w0;
+  *new_h_out = new_h;
+  *new_w_out = new_w;
+  return bgr;
+}
+
 // One image: decode path -> letterboxed RGB uint8 into out (dst_h*dst_w*3).
 LetterboxInfo DecodeLetterbox(const char* path, int dst_h, int dst_w,
-                              uint8_t* out) {
+                              uint8_t* out, bool fast) {
   LetterboxInfo info{0.f, 0.f, 0.f, 0};
-  cv::Mat bgr = cv::imread(path, cv::IMREAD_COLOR);
-  if (bgr.empty()) {
-    std::memset(out, kPadValue, static_cast<size_t>(dst_h) * dst_w * 3);
-    return info;
+  cv::Mat resized;  // RGB at (new_h, new_w)
+  int h = 0, w = 0, new_h = 0, new_w = 0;
+  if (fast) {
+    cv::Mat bgr = FastDecodeJpeg(path, dst_h, dst_w, /*truncate=*/false,
+                                 &h, &w, &new_h, &new_w);
+    if (!bgr.empty()) cv::cvtColor(bgr, resized, cv::COLOR_BGR2RGB);
   }
-  cv::Mat rgb;
-  cv::cvtColor(bgr, rgb, cv::COLOR_BGR2RGB);
+  if (resized.empty()) {
+    cv::Mat bgr = cv::imread(path, cv::IMREAD_COLOR);
+    if (bgr.empty()) {
+      std::memset(out, kPadValue, static_cast<size_t>(dst_h) * dst_w * 3);
+      return info;
+    }
+    cv::Mat rgb;
+    cv::cvtColor(bgr, rgb, cv::COLOR_BGR2RGB);
 
-  const int h = rgb.rows, w = rgb.cols;
+    h = rgb.rows;
+    w = rgb.cols;
+    const double r = std::min(static_cast<double>(dst_h) / h,
+                              static_cast<double>(dst_w) / w);
+    new_w = static_cast<int>(std::lround(w * r));
+    new_h = static_cast<int>(std::lround(h * r));
+    if (new_w != w || new_h != h) {
+      cv::resize(rgb, resized, cv::Size(new_w, new_h), 0, 0,
+                 cv::INTER_LINEAR);
+    } else {
+      resized = rgb;
+    }
+  }
   const double ratio =
       std::min(static_cast<double>(dst_h) / h, static_cast<double>(dst_w) / w);
-  const int new_w = static_cast<int>(std::lround(w * ratio));
-  const int new_h = static_cast<int>(std::lround(h * ratio));
-
-  cv::Mat resized;
-  if (new_w != w || new_h != h) {
-    cv::resize(rgb, resized, cv::Size(new_w, new_h), 0, 0, cv::INTER_LINEAR);
-  } else {
-    resized = rgb;
-  }
 
   const double dw = (dst_w - new_w) / 2.0;
   const double dh = (dst_h - new_h) / 2.0;
@@ -87,8 +215,23 @@ LetterboxInfo DecodeLetterbox(const char* path, int dst_h, int dst_w,
 // truncation of w*r / h*r (datasets.py:217-227), cv2 INTER_LINEAR.
 // meta: [h, w, h0, w0, ok] int32.
 void DecodeResize(const char* path, int max_h, int max_w, uint8_t* out,
-                  int32_t* meta) {
+                  int32_t* meta, bool fast) {
   meta[0] = meta[1] = meta[2] = meta[3] = meta[4] = 0;
+  if (fast) {
+    int h0 = 0, w0 = 0, new_h = 0, new_w = 0;
+    cv::Mat bgr = FastDecodeJpeg(path, max_h, max_w, /*truncate=*/true,
+                                 &h0, &w0, &new_h, &new_w);
+    if (!bgr.empty()) {
+      cv::Mat rgb(new_h, new_w, CV_8UC3, out);
+      cv::cvtColor(bgr, rgb, cv::COLOR_BGR2RGB);
+      meta[0] = new_h;
+      meta[1] = new_w;
+      meta[2] = h0;
+      meta[3] = w0;
+      meta[4] = 1;
+      return;
+    }
+  }
   cv::Mat bgr = cv::imread(path, cv::IMREAD_COLOR);
   if (bgr.empty()) return;
   const int h0 = bgr.rows, w0 = bgr.cols;
@@ -167,10 +310,11 @@ Pool* GlobalPool(int threads) {
 extern "C" {
 
 // Decode + letterbox a single image. out: dst_h*dst_w*3 uint8 (RGB).
-// info_out: [ratio, dw, dh, ok] floats. Returns 0 on success.
+// info_out: [ratio, dw, dh, ok] floats. fast: reduced-scale JPEG decode
+// when applicable (see FastDecodeJpeg). Returns 0 on success.
 int vkio_decode_letterbox(const char* path, int dst_h, int dst_w,
-                          uint8_t* out, float* info_out) {
-  LetterboxInfo info = DecodeLetterbox(path, dst_h, dst_w, out);
+                          uint8_t* out, float* info_out, int fast) {
+  LetterboxInfo info = DecodeLetterbox(path, dst_h, dst_w, out, fast != 0);
   info_out[0] = info.ratio;
   info_out[1] = info.dw;
   info_out[2] = info.dh;
@@ -184,7 +328,7 @@ int vkio_decode_letterbox(const char* path, int dst_h, int dst_w,
 // Returns the number of failed decodes.
 int vkio_decode_letterbox_batch(const char** paths, int n, int dst_h,
                                 int dst_w, uint8_t* out, float* infos,
-                                int threads) {
+                                int threads, int fast) {
   Pool* pool = GlobalPool(threads);
   std::atomic<int> remaining(n);
   std::atomic<int> failures(0);
@@ -194,8 +338,8 @@ int vkio_decode_letterbox_batch(const char** paths, int n, int dst_h,
   const size_t img_bytes = static_cast<size_t>(dst_h) * dst_w * 3;
   for (int i = 0; i < n; ++i) {
     pool->Submit([&, i] {
-      LetterboxInfo info =
-          DecodeLetterbox(paths[i], dst_h, dst_w, out + i * img_bytes);
+      LetterboxInfo info = DecodeLetterbox(paths[i], dst_h, dst_w,
+                                           out + i * img_bytes, fast != 0);
       infos[i * 4 + 0] = info.ratio;
       infos[i * 4 + 1] = info.dw;
       infos[i * 4 + 2] = info.dh;
@@ -216,8 +360,8 @@ int vkio_decode_letterbox_batch(const char** paths, int n, int dst_h,
 // out: max_h*max_w*3 uint8, written packed at the resized (h, w, 3) shape.
 // meta: [h, w, h0, w0, ok] int32. Returns 0 on success.
 int vkio_decode_resize(const char* path, int max_h, int max_w, uint8_t* out,
-                       int32_t* meta) {
-  DecodeResize(path, max_h, max_w, out, meta);
+                       int32_t* meta, int fast) {
+  DecodeResize(path, max_h, max_w, out, meta, fast != 0);
   return meta[4] ? 0 : 1;
 }
 
@@ -225,7 +369,8 @@ int vkio_decode_resize(const char* path, int max_h, int max_w, uint8_t* out,
 // out: n*max_h*max_w*3 uint8 (each image packed within its own slot).
 // metas: n*5 int32 [h, w, h0, w0, ok]. Returns the number of failures.
 int vkio_decode_resize_batch(const char** paths, int n, int max_h, int max_w,
-                             uint8_t* out, int32_t* metas, int threads) {
+                             uint8_t* out, int32_t* metas, int threads,
+                             int fast) {
   Pool* pool = GlobalPool(threads);
   std::atomic<int> remaining(n);
   std::atomic<int> failures(0);
@@ -236,7 +381,7 @@ int vkio_decode_resize_batch(const char** paths, int n, int max_h, int max_w,
   for (int i = 0; i < n; ++i) {
     pool->Submit([&, i] {
       DecodeResize(paths[i], max_h, max_w, out + i * img_bytes,
-                   metas + i * 5);
+                   metas + i * 5, fast != 0);
       if (!metas[i * 5 + 4]) failures.fetch_add(1);
       if (remaining.fetch_sub(1) == 1) {
         std::lock_guard<std::mutex> lk(done_mu);

@@ -24,23 +24,34 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_dataset(root, n, hw):
+def build_dataset(root, n, hw, texture="natural"):
     os.makedirs(os.path.join(root, "images"))
     os.makedirs(os.path.join(root, "labels"))
     rng = np.random.default_rng(0)
     for i in range(n):
-        img = rng.integers(0, 255, (*hw, 3), dtype=np.uint8)
+        if texture == "noise":
+            img = rng.integers(0, 255, (*hw, 3), dtype=np.uint8)
+        else:
+            # photo-like low-frequency content: decode cost is IDCT-bound
+            # like real camera JPEGs (noise JPEGs are Huffman-bound and
+            # unrepresentative — see tools/bench_valloader.py)
+            small = rng.integers(0, 255, (hw[0] // 8, hw[1] // 8, 3),
+                                 dtype=np.uint8)
+            img = cv2.resize(small, (hw[1], hw[0]),
+                             interpolation=cv2.INTER_CUBIC)
         cv2.imwrite(os.path.join(root, "images", f"{i}.jpg"), img)
         with open(os.path.join(root, "labels", f"{i}.txt"), "w") as f:
             f.write("0 0.5 0.5 0.4 0.3\n1 0.3 0.3 0.2 0.2")
 
 
-def run(root, batch, size, n_batches, cache, mosaic=True, device_aug=False):
+def run(root, batch, size, n_batches, cache, mosaic=True, device_aug=False,
+        fast=False):
     from vision_kit_tpu.data.datasets import YOLODataset
     from vision_kit_tpu.data.loader import TrainLoader
 
     ds = YOLODataset(root, img_size=(size, size),
-                     cache_images="ram" if cache else None)
+                     cache_images="ram" if cache else None,
+                     fast_decode=fast)
     loader = TrainLoader(
         ds, batch, img_size=(size, size),
         aug_cfg={"enable_mosaic": mosaic, "enable_mixup": False},
@@ -69,10 +80,12 @@ def main():
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--hw", type=int, nargs=2, default=(720, 1280))
     ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--texture", choices=("natural", "noise"),
+                    default="natural")
     args = ap.parse_args()
 
     with tempfile.TemporaryDirectory() as root:
-        build_dataset(root, args.n, tuple(args.hw))
+        build_dataset(root, args.n, tuple(args.hw), texture=args.texture)
 
         os.environ["VK_NO_NATIVE"] = "1"
         py = run(root, args.batch, args.size, args.batches, cache=False)
@@ -80,6 +93,10 @@ def main():
         del os.environ["VK_NO_NATIVE"]
         nat = run(root, args.batch, args.size, args.batches, cache=False)
         print(f"native batch decode:  {nat:8.1f} img/s  ({nat / py:.2f}x)")
+        fast = run(root, args.batch, args.size, args.batches, cache=False,
+                   fast=True)
+        print(f"native fast_decode:   {fast:8.1f} img/s  ({fast / py:.2f}x)"
+              "  (reduced-scale JPEG decode, data.fast_decode)")
         ram = run(root, args.batch, args.size, args.batches, cache=True)
         print(f"ram image cache:      {ram:8.1f} img/s  ({ram / py:.2f}x)"
               "  (aug/mosaic cost only)")

@@ -20,12 +20,22 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_dataset(root, n, hw):
+def build_dataset(root, n, hw, texture="natural"):
     os.makedirs(os.path.join(root, "images"))
     os.makedirs(os.path.join(root, "labels"))
     rng = np.random.default_rng(0)
     for i in range(n):
-        img = rng.integers(0, 255, (*hw, 3), dtype=np.uint8)
+        if texture == "noise":
+            # per-pixel noise: pathological for JPEG — the Huffman stream
+            # dominates decode cost, which reduced-scale decode can't skip
+            img = rng.integers(0, 255, (*hw, 3), dtype=np.uint8)
+        else:
+            # photo-like low-frequency content (noise upsampled 8x): decode
+            # cost is IDCT/upsampling-dominated like real camera images
+            small = rng.integers(0, 255, (hw[0] // 8, hw[1] // 8, 3),
+                                 dtype=np.uint8)
+            img = cv2.resize(small, (hw[1], hw[0]),
+                             interpolation=cv2.INTER_CUBIC)
         cv2.imwrite(os.path.join(root, "images", f"{i}.jpg"), img)
         with open(os.path.join(root, "labels", f"{i}.txt"), "w") as f:
             f.write("0 0.5 0.5 0.4 0.3")
@@ -56,12 +66,14 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--hw", type=int, nargs=2, default=(720, 1280))
+    ap.add_argument("--texture", choices=("natural", "noise"),
+                    default="natural")
     args = ap.parse_args()
 
     from vision_kit_tpu.data.datasets import YOLODataset
 
     with tempfile.TemporaryDirectory() as root:
-        build_dataset(root, args.n, tuple(args.hw))
+        build_dataset(root, args.n, tuple(args.hw), texture=args.texture)
         ds = YOLODataset(root, img_size=(args.size, args.size))
 
         os.environ["VK_NO_NATIVE"] = "1"
@@ -73,6 +85,12 @@ def main():
         nat_pf = run(ds, args.batch, args.size, prefetch=2)
         print(f"native + prefetch:    {nat_pf:8.1f} img/s  ({nat_pf / py:.2f}x)"
               " (prefetch overlaps device work, not visible host-only)")
+
+        ds_fast = YOLODataset(root, img_size=(args.size, args.size),
+                              fast_decode=True)
+        fast = run(ds_fast, args.batch, args.size, prefetch=0)
+        print(f"native fast_decode:   {fast:8.1f} img/s  ({fast / py:.2f}x)"
+              " (reduced-scale JPEG decode, data.fast_decode)")
 
 
 if __name__ == "__main__":

@@ -42,6 +42,95 @@ def _use_native() -> bool:
     return native.available()
 
 
+def _probe_jpeg(path: str):
+    """JPEG header scan: (h0, w0, has_exif) without decoding, or None when
+    the file isn't parseable as a JPEG. Mirrors native/vkio.cpp ProbeJpeg
+    byte-for-byte so the Python and native fast paths gate identically."""
+    try:
+        with open(path, "rb") as f:
+            buf = f.read(256 * 1024)
+    except OSError:
+        return None
+    n = len(buf)
+    if n < 4 or buf[0] != 0xFF or buf[1] != 0xD8:
+        return None
+    has_exif = False
+    pos = 2
+    while pos + 4 <= n:
+        if buf[pos] != 0xFF:
+            return None
+        m = pos + 1
+        while m < n and buf[m] == 0xFF:
+            m += 1
+        if m >= n:
+            return None
+        marker = buf[m]
+        pos = m + 1
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker in (0xD9, 0xDA):
+            return None
+        if pos + 2 > n:
+            return None
+        length = (buf[pos] << 8) | buf[pos + 1]
+        if length < 2 or pos + length > n:
+            return None
+        payload = buf[pos + 2:pos + length]
+        if marker == 0xE1 and payload[:6] == b"Exif\x00\x00":
+            has_exif = True
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if len(payload) < 5:
+                return None
+            h0 = (payload[1] << 8) | payload[2]
+            w0 = (payload[3] << 8) | payload[4]
+            if h0 <= 0 or w0 <= 0:
+                return None
+            return h0, w0, has_exif
+        pos += length
+    return None
+
+
+_REDUCED_FLAGS = {
+    2: cv2.IMREAD_REDUCED_COLOR_2,
+    4: cv2.IMREAD_REDUCED_COLOR_4,
+    8: cv2.IMREAD_REDUCED_COLOR_8,
+}
+
+
+def _fast_decode_resized(path: str, max_hw):
+    """Reduced-scale JPEG decode + min-ratio resize (the `_decode_resized`
+    geometry): decode at 1/f via libjpeg's DCT-domain scaling (f in 8/4/2),
+    then resize the remainder. ~f^2 less IDCT work — the dominant cost of
+    the uncached single-core input path (DESIGN.md "Host allocation
+    behavior"). EXIF-bearing JPEGs fall back (cv2 applies orientation,
+    which the header probe would have to replicate). Pixels differ from the
+    full decode at distribution level only (reduced decode is a DCT
+    box-average); geometry and (h0, w0) are exact. Bit-identical to the
+    native fast path (vkio.cpp FastDecodeJpeg — same cv2 ops).
+
+    Returns (img_rgb, (h0, w0)) or None when the fast path doesn't apply."""
+    probe = _probe_jpeg(path)
+    if probe is None or probe[2]:
+        return None
+    h0, w0, _ = probe
+    max_h, max_w = max_hw
+    r = min(max_h / h0, max_w / w0)
+    if r >= 1.0:
+        return None
+    new_w, new_h = int(w0 * r), int(h0 * r)
+    f = next((f for f in (8, 4, 2)
+              if -(-h0 // f) >= new_h and -(-w0 // f) >= new_w), 1)
+    if f < 2:
+        return None
+    bgr = cv2.imread(path, _REDUCED_FLAGS[f])
+    # validate the probe against libjpeg's ceil(dim/f) scaled output
+    if bgr is None or bgr.shape[:2] != (-(-h0 // f), -(-w0 // f)):
+        return None
+    if bgr.shape[:2] != (new_h, new_w):
+        bgr = cv2.resize(bgr, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+    return cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB), (h0, w0)
+
+
 def _img2label_path(img_path: str) -> str:
     sa = os.sep + "images" + os.sep
     sb = os.sep + "labels" + os.sep
@@ -84,8 +173,9 @@ class _ImageCacheMixin:
                     self._ram_cache.append((np.array(img), hw0))
             logger.info("cached %d images in RAM", len(self))
             return
+        fast = "|fast" if getattr(self, "fast_decode", False) else ""
         tag = hashlib.md5(
-            f"{cache_key}|{maxh}x{maxw}".encode()
+            f"{cache_key}|{maxh}x{maxw}{fast}".encode()
         ).hexdigest()[:12]
         self._mm_path = os.path.join(base_dir, f".vk_imgcache_{tag}.dat")
         self._mm_shape = (len(self), maxh, maxw, 3)
@@ -137,14 +227,24 @@ class _ImageCacheMixin:
     def _decode_resized(self, idx: int):
         """Decode + min-ratio resize of one image: native C++ when
         available, cv2 otherwise (bit-identical; see native/vkio.cpp
-        DecodeResize vs `_decode_resized_py`)."""
+        DecodeResize vs `_decode_resized_py`). With `fast_decode`, JPEGs
+        whose ratio allows it decode at reduced DCT scale
+        (_fast_decode_resized / vkio FastDecodeJpeg — also bit-identical
+        to each other)."""
+        fast = getattr(self, "fast_decode", False)
         if _use_native():
             from vision_kit_tpu.data import native
 
-            out = native.decode_resize(self._image_path(idx), self.input_dim)
+            out = native.decode_resize(
+                self._image_path(idx), self.input_dim, fast=fast
+            )
             if out is not None:
                 return out
             # fall through: the python path owns the unreadable-file error
+        elif fast:
+            out = _fast_decode_resized(self._image_path(idx), self.input_dim)
+            if out is not None:
+                return out
         return self._decode_resized_py(idx)
 
     def _decode_resized_batch(self, idxs):
@@ -157,7 +257,8 @@ class _ImageCacheMixin:
             from vision_kit_tpu.data import native
 
             buf, metas = native.decode_resize_batch(
-                [self._image_path(i) for i in idxs], self.input_dim
+                [self._image_path(i) for i in idxs], self.input_dim,
+                fast=getattr(self, "fast_decode", False),
             )
             out = []
             for k, i in enumerate(idxs):
@@ -199,11 +300,13 @@ class YOLODataset(_ImageCacheMixin):
         filter_classes=(),
         cache: bool = True,
         cache_images: str | None = None,
+        fast_decode: bool = False,
     ):
         self.data_dir = data_dir
         self.input_dim = (
             (img_size, img_size) if isinstance(img_size, int) else tuple(img_size)
         )
+        self.fast_decode = bool(fast_decode)
         self.filter_classes = list(filter_classes)
         self.img_files = sorted(
             p
@@ -282,7 +385,13 @@ class YOLODataset(_ImageCacheMixin):
             try:
                 with np.load(path, allow_pickle=True) as z:
                     files = [str(f) for f in z["files"]]
-                    labels = list(z["labels"])
+                    # coerce: older caches where every image had the same
+                    # label count round-tripped as a 3-D object array,
+                    # turning rows into float64-math object arrays
+                    labels = [
+                        np.asarray(lab, np.float32).reshape(-1, 5)
+                        for lab in z["labels"]
+                    ]
                 if len(files) == len(labels):
                     self.img_files = files
                     return labels
@@ -335,10 +444,13 @@ class YOLODataset(_ImageCacheMixin):
         self.img_files = kept
         if cache:
             try:
-                np.savez_compressed(
-                    path, labels=np.asarray(labels, dtype=object),
-                    files=np.asarray(kept),
-                )
+                # 1-D object array explicitly: np.asarray(labels, object)
+                # would build a 3-D scalar-object array whenever every image
+                # has the same label count, corrupting dtypes on reload
+                arr = np.empty(len(labels), dtype=object)
+                for i, lab in enumerate(labels):
+                    arr[i] = lab
+                np.savez_compressed(path, labels=arr, files=np.asarray(kept))
             except Exception:
                 pass
         return labels
@@ -414,12 +526,14 @@ class COCODataset(_ImageCacheMixin):
         img_size=(640, 640),
         filter_classes=(),
         cache_images: str | None = None,
+        fast_decode: bool = False,
     ):
         self.data_dir = data_dir
         self.name = name
         self.input_dim = (
             (img_size, img_size) if isinstance(img_size, int) else tuple(img_size)
         )
+        self.fast_decode = bool(fast_decode)
         ann_path = (
             json_file
             if os.path.isabs(json_file)

@@ -43,23 +43,25 @@ def _load():
     lib.vkio_decode_letterbox.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
     ]
     lib.vkio_decode_letterbox.restype = ctypes.c_int
     lib.vkio_decode_letterbox_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
-        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
     ]
     lib.vkio_decode_letterbox_batch.restype = ctypes.c_int
     lib.vkio_decode_resize.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int,
     ]
     lib.vkio_decode_resize.restype = ctypes.c_int
     lib.vkio_decode_resize_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
     ]
     lib.vkio_decode_resize_batch.restype = ctypes.c_int
     _lib = lib
@@ -70,9 +72,10 @@ def available() -> bool:
     return _load() is not None
 
 
-def decode_letterbox(path: str, dst_hw: tuple[int, int]):
+def decode_letterbox(path: str, dst_hw: tuple[int, int], fast: bool = False):
     """Returns (img (H, W, 3) uint8 RGB letterboxed, (ratio, (dw, dh))) or
-    None on decode failure."""
+    None on decode failure. `fast`: reduced-scale JPEG decode when the
+    ratio allows (see vkio.cpp FastDecodeJpeg)."""
     lib = _load()
     assert lib is not None, "native vkio unavailable"
     h, w = dst_hw
@@ -82,6 +85,7 @@ def decode_letterbox(path: str, dst_hw: tuple[int, int]):
         path.encode(), h, w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         info.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(fast),
     )
     if info[3] < 0.5:
         return None
@@ -89,7 +93,7 @@ def decode_letterbox(path: str, dst_hw: tuple[int, int]):
 
 
 def decode_letterbox_batch(paths: list[str], dst_hw: tuple[int, int],
-                           threads: int = 0):
+                           threads: int = 0, fast: bool = False):
     """Parallel batch decode+letterbox.
 
     Returns (imgs (N, H, W, 3) uint8, infos (N, 4) [ratio, dw, dh, ok])."""
@@ -104,12 +108,12 @@ def decode_letterbox_batch(paths: list[str], dst_hw: tuple[int, int],
         arr, n, h, w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         infos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        threads,
+        threads, int(fast),
     )
     return out, infos
 
 
-def decode_resize(path: str, max_hw: tuple[int, int]):
+def decode_resize(path: str, max_hw: tuple[int, int], fast: bool = False):
     """Decode + min-ratio resize (no pad) — the datasets' `_decode_resized`
     geometry. Returns ((h, w, 3) uint8 RGB view, (h0, w0)) or None on
     decode failure."""
@@ -122,6 +126,7 @@ def decode_resize(path: str, max_hw: tuple[int, int]):
         path.encode(), mh, mw,
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        int(fast),
     )
     h, w, h0, w0, ok = (int(v) for v in meta)
     if not ok:
@@ -130,7 +135,7 @@ def decode_resize(path: str, max_hw: tuple[int, int]):
 
 
 def decode_resize_batch(paths: list[str], max_hw: tuple[int, int],
-                        threads: int = 0):
+                        threads: int = 0, fast: bool = False):
     """Parallel batch decode + min-ratio resize.
 
     Returns (buf (N, max_h*max_w*3) uint8 — image k is
@@ -147,6 +152,6 @@ def decode_resize_batch(paths: list[str], max_hw: tuple[int, int],
         arr, n, mh, mw,
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         metas.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        threads,
+        threads, int(fast),
     )
     return buf, metas

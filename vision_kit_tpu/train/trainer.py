@@ -235,18 +235,24 @@ class Trainer:
         # optional RAM/disk image cache (reference yolo.py:112-143 /
         # coco.py:77-125); cfg key `data.cache_images: ram|disk`
         cache_images = getattr(cfg.data, "cache_images", None) or None
+        # cfg `data.fast_decode`: reduced-scale JPEG decode in the loaders
+        # (exact geometry, distribution-level pixel change — datasets.py
+        # _fast_decode_resized)
+        fast_decode = bool(getattr(cfg.data, "fast_decode", False))
         if fmt == "yolo":
             train_ds = YOLODataset(
                 os.path.join(cfg.data.data_dir, cfg.data.train_path),
                 img_size=self.img_size,
                 filter_classes=list(cfg.data.filter_classes or []),
                 cache_images=cache_images,
+                fast_decode=fast_decode,
             )
         elif fmt == "coco":
             train_ds = COCODataset(
                 cfg.data.data_dir, json_file="instances_train2017.json",
                 name=cfg.data.train_path, img_size=self.img_size,
                 cache_images=cache_images,
+                fast_decode=fast_decode,
             )
         else:
             raise ValueError(f"unknown data_format {fmt!r}")
@@ -270,12 +276,14 @@ class Trainer:
 
         cfg = self.cfg
         cache_images = getattr(cfg.data, "cache_images", None) or None
+        fast_decode = bool(getattr(cfg.data, "fast_decode", False))
         if cfg.data.data_format == "yolo":
             return YOLODataset(
                 os.path.join(cfg.data.data_dir, split_path),
                 img_size=self.img_size,
                 filter_classes=list(cfg.data.filter_classes or []),
                 cache_images=cache_images,
+                fast_decode=fast_decode,
             )
         # coco: prefer the conventional instances_<split>.json, keeping the
         # val2017 default name as a fallback for the standard COCO layout
@@ -288,6 +296,7 @@ class Trainer:
         return COCODataset(
             cfg.data.data_dir, json_file=json_file, name=split_path,
             img_size=self.img_size, cache_images=cache_images,
+            fast_decode=fast_decode,
         )
 
     # -- checkpointing ----------------------------------------------------
