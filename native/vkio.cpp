@@ -309,6 +309,10 @@ Pool* GlobalPool(int threads) {
 
 extern "C" {
 
+// ABI version: bump whenever an exported signature changes so the Python
+// bindings can detect (and rebuild past) a stale .so. v2: `fast` param.
+int vkio_abi_version() { return 2; }
+
 // Decode + letterbox a single image. out: dst_h*dst_w*3 uint8 (RGB).
 // info_out: [ratio, dw, dh, ok] floats. fast: reduced-scale JPEG decode
 // when applicable (see FastDecodeJpeg). Returns 0 on success.

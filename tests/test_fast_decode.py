@@ -103,6 +103,39 @@ def test_fast_not_applied_when_upscaling(jpegs):
     assert _fast_decode_resized(path, (640, 640)) is None
 
 
+def test_fast_progressive_jpeg(tmp_path):
+    """Progressive JPEGs (SOF2): probe reads dims, reduced decode works."""
+    from PIL import Image
+
+    p = tmp_path / "prog.jpg"
+    Image.fromarray(_smooth(719, 1283)).save(p, "JPEG", progressive=True,
+                                             quality=92)
+    assert _probe_jpeg(str(p)) == (719, 1283, False)
+    out = _fast_decode_resized(str(p), (640, 640))
+    assert out is not None
+    img, hw0 = out
+    assert hw0 == (719, 1283) and img.shape == (358, 640, 3)
+    ref, _ = _exact_resized(str(p), (640, 640))
+    diff = np.abs(img.astype(np.int16) - ref.astype(np.int16))
+    assert diff.max() <= 8
+
+
+def test_fast_grayscale_jpeg(tmp_path):
+    """Grayscale JPEGs: REDUCED_COLOR decode still yields 3 channels and
+    the same geometry as the exact path."""
+    from PIL import Image
+
+    p = tmp_path / "gray.jpg"
+    Image.fromarray(_smooth(719, 1283)[..., 0]).save(p, "JPEG", quality=92)
+    out = _fast_decode_resized(str(p), (640, 640))
+    assert out is not None
+    img, hw0 = out
+    ref, hw0_ref = _exact_resized(str(p), (640, 640))
+    assert hw0 == hw0_ref and img.shape == ref.shape == (358, 640, 3)
+    diff = np.abs(img.astype(np.int16) - ref.astype(np.int16))
+    assert diff.max() <= 8
+
+
 @pytest.mark.skipif(not native.available(), reason="native vkio not built")
 def test_native_fast_bit_identical_to_python(jpegs):
     for name in ("hd", "even", "big"):

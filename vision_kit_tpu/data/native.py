@@ -22,24 +22,50 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libvkio.so")
 _lib = None
 _tried = False
 
+_ABI_VERSION = 2  # must match vkio.cpp vkio_abi_version()
+
+
+def _make() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "-B"], check=True,
+            capture_output=True, timeout=300,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _open_checked():
+    """CDLL + ABI version gate (a stale .so would silently misread the
+    newer bindings' trailing args)."""
+    lib = ctypes.CDLL(_LIB_PATH)
+    if not hasattr(lib, "vkio_abi_version"):
+        raise OSError("vkio ABI v1 (pre-versioning)")
+    lib.vkio_abi_version.restype = ctypes.c_int
+    v = lib.vkio_abi_version()
+    if v != _ABI_VERSION:
+        raise OSError(f"vkio ABI v{v}, bindings expect v{_ABI_VERSION}")
+    return lib
+
 
 def _load():
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR], check=True,
-                capture_output=True, timeout=300,
-            )
-        except Exception:
-            return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
+    if not os.path.exists(_LIB_PATH) and not _make():
         return None
+    try:
+        lib = _open_checked()
+    except OSError:
+        # stale or unloadable .so: rebuild once from source
+        if not _make():
+            return None
+        try:
+            lib = _open_checked()
+        except OSError:
+            return None
     lib.vkio_decode_letterbox.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
