@@ -38,7 +38,26 @@ struct LetterboxInfo {
   float dw;
   float dh;
   int ok;  // 1 = success, 0 = decode failure
+  int h0;  // true source dims (pre-resize), for callers that rescale
+  int w0;  // coords back to the original frame (serving)
 };
+
+// An image source: a filesystem path OR an in-memory encoded buffer
+// (serving receives bytes over HTTP — no temp files on the hot path).
+struct ByteSource {
+  const char* path = nullptr;
+  const uint8_t* data = nullptr;
+  size_t len = 0;
+};
+
+cv::Mat ImDecodeSource(const ByteSource& src, int flag) {
+  if (src.data != nullptr) {
+    const cv::Mat raw(1, static_cast<int>(src.len), CV_8UC1,
+                      const_cast<uint8_t*>(src.data));
+    return cv::imdecode(raw, flag);  // imdecode does not mutate the buffer
+  }
+  return cv::imread(src.path, flag);
+}
 
 // ---------------------------------------------------------------------------
 // Fast JPEG decode: DCT-domain reduced-scale decode (libjpeg 1/2,1/4,1/8)
@@ -60,15 +79,8 @@ struct JpegProbe {
 };
 
 // Scan JPEG markers for the frame dims (SOF) and EXIF presence (APP1).
-JpegProbe ProbeJpeg(const char* path) {
+JpegProbe ProbeJpegBuf(const uint8_t* buf, size_t n) {
   JpegProbe p;
-  FILE* f = std::fopen(path, "rb");
-  if (!f) return p;
-  // Headers (APPn + quant/huffman + SOF) sit at the front; 256 KB covers
-  // even large embedded thumbnails/ICC profiles. Not found => exact path.
-  std::vector<uint8_t> buf(256 * 1024);
-  const size_t n = std::fread(buf.data(), 1, buf.size(), f);
-  std::fclose(f);
   if (n < 4 || buf[0] != 0xFF || buf[1] != 0xD8) return p;  // SOI
   size_t pos = 2;
   while (pos + 4 <= n) {
@@ -86,7 +98,7 @@ JpegProbe ProbeJpeg(const char* path) {
     if (pos + 2 > n) return p;
     const size_t len = (static_cast<size_t>(buf[pos]) << 8) | buf[pos + 1];
     if (len < 2 || pos + len > n) return p;
-    const uint8_t* payload = buf.data() + pos + 2;
+    const uint8_t* payload = buf + pos + 2;
     const size_t plen = len - 2;
     if (marker == 0xE1 && plen >= 6 &&
         std::memcmp(payload, "Exif\0\0", 6) == 0) {
@@ -106,6 +118,21 @@ JpegProbe ProbeJpeg(const char* path) {
   return p;
 }
 
+JpegProbe ProbeSource(const ByteSource& src) {
+  if (src.data != nullptr) {
+    // Headers (APPn + quant/huffman + SOF) sit at the front; 256 KB covers
+    // even large embedded thumbnails/ICC profiles. Not found => exact path.
+    return ProbeJpegBuf(src.data, std::min(src.len, size_t{256 * 1024}));
+  }
+  JpegProbe p;
+  FILE* f = std::fopen(src.path, "rb");
+  if (!f) return p;
+  std::vector<uint8_t> buf(256 * 1024);
+  const size_t n = std::fread(buf.data(), 1, buf.size(), f);
+  std::fclose(f);
+  return ProbeJpegBuf(buf.data(), n);
+}
+
 // Largest f in {8,4,2} whose reduced decode (ceil(dim/f), libjpeg scaled
 // output) still covers the target size, i.e. only downscaling remains.
 int PickReduceFactor(int h0, int w0, int new_h, int new_w) {
@@ -118,10 +145,10 @@ int PickReduceFactor(int h0, int w0, int new_h, int new_w) {
 // Reduced-scale decode to exactly (new_h, new_w) BGR. Returns empty Mat when
 // the fast path doesn't apply (wrong ratio, EXIF, probe/decode mismatch).
 // h0/w0 out: true source dims from the header.
-cv::Mat FastDecodeJpeg(const char* path, int max_h, int max_w, bool truncate,
-                       int* h0_out, int* w0_out, int* new_h_out,
-                       int* new_w_out) {
-  const JpegProbe p = ProbeJpeg(path);
+cv::Mat FastDecodeJpeg(const ByteSource& src, int max_h, int max_w,
+                       bool truncate, int* h0_out, int* w0_out,
+                       int* new_h_out, int* new_w_out) {
+  const JpegProbe p = ProbeSource(src);
   if (!p.ok || p.has_exif) return {};
   const double r = std::min(static_cast<double>(max_h) / p.h0,
                             static_cast<double>(max_w) / p.w0);
@@ -137,7 +164,7 @@ cv::Mat FastDecodeJpeg(const char* path, int max_h, int max_w, bool truncate,
   const int flag = f == 8 ? cv::IMREAD_REDUCED_COLOR_8
                  : f == 4 ? cv::IMREAD_REDUCED_COLOR_4
                           : cv::IMREAD_REDUCED_COLOR_2;
-  cv::Mat bgr = cv::imread(path, flag);
+  cv::Mat bgr = ImDecodeSource(src, flag);
   // validate the probe against libjpeg's ceil(dim/f) scaled output
   if (bgr.empty() || bgr.rows != (p.h0 + f - 1) / f ||
       bgr.cols != (p.w0 + f - 1) / f) {
@@ -155,19 +182,20 @@ cv::Mat FastDecodeJpeg(const char* path, int max_h, int max_w, bool truncate,
   return bgr;
 }
 
-// One image: decode path -> letterboxed RGB uint8 into out (dst_h*dst_w*3).
-LetterboxInfo DecodeLetterbox(const char* path, int dst_h, int dst_w,
+// One image: decode source -> letterboxed RGB uint8 into out
+// (dst_h*dst_w*3).
+LetterboxInfo DecodeLetterbox(const ByteSource& src, int dst_h, int dst_w,
                               uint8_t* out, bool fast) {
-  LetterboxInfo info{0.f, 0.f, 0.f, 0};
+  LetterboxInfo info{0.f, 0.f, 0.f, 0, 0, 0};
   cv::Mat resized;  // RGB at (new_h, new_w)
   int h = 0, w = 0, new_h = 0, new_w = 0;
   if (fast) {
-    cv::Mat bgr = FastDecodeJpeg(path, dst_h, dst_w, /*truncate=*/false,
+    cv::Mat bgr = FastDecodeJpeg(src, dst_h, dst_w, /*truncate=*/false,
                                  &h, &w, &new_h, &new_w);
     if (!bgr.empty()) cv::cvtColor(bgr, resized, cv::COLOR_BGR2RGB);
   }
   if (resized.empty()) {
-    cv::Mat bgr = cv::imread(path, cv::IMREAD_COLOR);
+    cv::Mat bgr = ImDecodeSource(src, cv::IMREAD_COLOR);
     if (bgr.empty()) {
       std::memset(out, kPadValue, static_cast<size_t>(dst_h) * dst_w * 3);
       return info;
@@ -204,6 +232,8 @@ LetterboxInfo DecodeLetterbox(const char* path, int dst_h, int dst_w,
   info.dw = static_cast<float>(dw);
   info.dh = static_cast<float>(dh);
   info.ok = 1;
+  info.h0 = h;
+  info.w0 = w;
   return info;
 }
 
@@ -214,12 +244,12 @@ LetterboxInfo DecodeLetterbox(const char* path, int dst_h, int dst_w,
 // `_decode_resized` exactly: ratio = min(max/src), new size via C-style
 // truncation of w*r / h*r (datasets.py:217-227), cv2 INTER_LINEAR.
 // meta: [h, w, h0, w0, ok] int32.
-void DecodeResize(const char* path, int max_h, int max_w, uint8_t* out,
+void DecodeResize(const ByteSource& src, int max_h, int max_w, uint8_t* out,
                   int32_t* meta, bool fast) {
   meta[0] = meta[1] = meta[2] = meta[3] = meta[4] = 0;
   if (fast) {
     int h0 = 0, w0 = 0, new_h = 0, new_w = 0;
-    cv::Mat bgr = FastDecodeJpeg(path, max_h, max_w, /*truncate=*/true,
+    cv::Mat bgr = FastDecodeJpeg(src, max_h, max_w, /*truncate=*/true,
                                  &h0, &w0, &new_h, &new_w);
     if (!bgr.empty()) {
       cv::Mat rgb(new_h, new_w, CV_8UC3, out);
@@ -232,7 +262,7 @@ void DecodeResize(const char* path, int max_h, int max_w, uint8_t* out,
       return;
     }
   }
-  cv::Mat bgr = cv::imread(path, cv::IMREAD_COLOR);
+  cv::Mat bgr = ImDecodeSource(src, cv::IMREAD_COLOR);
   if (bgr.empty()) return;
   const int h0 = bgr.rows, w0 = bgr.cols;
   const double r = std::min(static_cast<double>(max_h) / h0,
@@ -311,18 +341,40 @@ extern "C" {
 
 // ABI version: bump whenever an exported signature changes so the Python
 // bindings can detect (and rebuild past) a stale .so. v2: `fast` param.
-int vkio_abi_version() { return 2; }
+// v3: vkio_decode_letterbox_mem (decode from an in-memory buffer).
+int vkio_abi_version() { return 3; }
 
 // Decode + letterbox a single image. out: dst_h*dst_w*3 uint8 (RGB).
 // info_out: [ratio, dw, dh, ok] floats. fast: reduced-scale JPEG decode
 // when applicable (see FastDecodeJpeg). Returns 0 on success.
 int vkio_decode_letterbox(const char* path, int dst_h, int dst_w,
                           uint8_t* out, float* info_out, int fast) {
-  LetterboxInfo info = DecodeLetterbox(path, dst_h, dst_w, out, fast != 0);
+  LetterboxInfo info =
+      DecodeLetterbox(ByteSource{path}, dst_h, dst_w, out, fast != 0);
   info_out[0] = info.ratio;
   info_out[1] = info.dw;
   info_out[2] = info.dh;
   info_out[3] = static_cast<float>(info.ok);
+  return info.ok ? 0 : 1;
+}
+
+// Decode + letterbox from an in-memory encoded image (the serving path:
+// request bytes never touch the filesystem). hw0_out: [h0, w0] int32 true
+// source dims (for rescaling detections to the client's frame).
+// Returns 0 on success.
+int vkio_decode_letterbox_mem(const uint8_t* data, int64_t len, int dst_h,
+                              int dst_w, uint8_t* out, float* info_out,
+                              int32_t* hw0_out, int fast) {
+  ByteSource src;
+  src.data = data;
+  src.len = static_cast<size_t>(len);
+  LetterboxInfo info = DecodeLetterbox(src, dst_h, dst_w, out, fast != 0);
+  info_out[0] = info.ratio;
+  info_out[1] = info.dw;
+  info_out[2] = info.dh;
+  info_out[3] = static_cast<float>(info.ok);
+  hw0_out[0] = info.h0;
+  hw0_out[1] = info.w0;
   return info.ok ? 0 : 1;
 }
 
@@ -342,8 +394,9 @@ int vkio_decode_letterbox_batch(const char** paths, int n, int dst_h,
   const size_t img_bytes = static_cast<size_t>(dst_h) * dst_w * 3;
   for (int i = 0; i < n; ++i) {
     pool->Submit([&, i] {
-      LetterboxInfo info = DecodeLetterbox(paths[i], dst_h, dst_w,
-                                           out + i * img_bytes, fast != 0);
+      LetterboxInfo info =
+          DecodeLetterbox(ByteSource{paths[i]}, dst_h, dst_w,
+                          out + i * img_bytes, fast != 0);
       infos[i * 4 + 0] = info.ratio;
       infos[i * 4 + 1] = info.dw;
       infos[i * 4 + 2] = info.dh;
@@ -365,7 +418,7 @@ int vkio_decode_letterbox_batch(const char** paths, int n, int dst_h,
 // meta: [h, w, h0, w0, ok] int32. Returns 0 on success.
 int vkio_decode_resize(const char* path, int max_h, int max_w, uint8_t* out,
                        int32_t* meta, int fast) {
-  DecodeResize(path, max_h, max_w, out, meta, fast != 0);
+  DecodeResize(ByteSource{path}, max_h, max_w, out, meta, fast != 0);
   return meta[4] ? 0 : 1;
 }
 
@@ -384,8 +437,8 @@ int vkio_decode_resize_batch(const char** paths, int n, int max_h, int max_w,
   const size_t img_bytes = static_cast<size_t>(max_h) * max_w * 3;
   for (int i = 0; i < n; ++i) {
     pool->Submit([&, i] {
-      DecodeResize(paths[i], max_h, max_w, out + i * img_bytes,
-                   metas + i * 5, fast != 0);
+      DecodeResize(ByteSource{paths[i]}, max_h, max_w,
+                   out + i * img_bytes, metas + i * 5, fast != 0);
       if (!metas[i * 5 + 4]) failures.fetch_add(1);
       if (remaining.fetch_sub(1) == 1) {
         std::lock_guard<std::mutex> lk(done_mu);

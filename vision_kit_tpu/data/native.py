@@ -22,7 +22,7 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libvkio.so")
 _lib = None
 _tried = False
 
-_ABI_VERSION = 2  # must match vkio.cpp vkio_abi_version()
+_ABI_VERSION = 3  # must match vkio.cpp vkio_abi_version()
 
 
 def _make() -> bool:
@@ -78,6 +78,13 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
     ]
     lib.vkio_decode_letterbox_batch.restype = ctypes.c_int
+    lib.vkio_decode_letterbox_mem.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int,
+    ]
+    lib.vkio_decode_letterbox_mem.restype = ctypes.c_int
     lib.vkio_decode_resize.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
@@ -116,6 +123,37 @@ def decode_letterbox(path: str, dst_hw: tuple[int, int], fast: bool = False):
     if info[3] < 0.5:
         return None
     return out, (float(info[0]), (float(info[1]), float(info[2])))
+
+
+def decode_letterbox_bytes(data: bytes, dst_hw: tuple[int, int],
+                           fast: bool = False):
+    """Decode an in-memory encoded image (JPEG/PNG/...) + letterbox — the
+    serving hot path (request bytes never touch the filesystem).
+
+    Returns (img (H, W, 3) uint8 RGB letterboxed, (ratio, (dw, dh)),
+    (h0, w0)) or None on decode failure."""
+    lib = _load()
+    assert lib is not None, "native vkio unavailable"
+    h, w = dst_hw
+    out = np.empty((h, w, 3), np.uint8)
+    info = np.empty(4, np.float32)
+    hw0 = np.empty(2, np.int32)
+    buf = np.frombuffer(data, np.uint8)
+    lib.vkio_decode_letterbox_mem(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        info.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        hw0.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        int(fast),
+    )
+    if info[3] < 0.5:
+        return None
+    return (
+        out,
+        (float(info[0]), (float(info[1]), float(info[2]))),
+        (int(hw0[0]), int(hw0[1])),
+    )
 
 
 def decode_letterbox_batch(paths: list[str], dst_hw: tuple[int, int],

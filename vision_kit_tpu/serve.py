@@ -1,0 +1,335 @@
+"""Batched HTTP inference server — the production serving surface.
+
+The reference has no serving daemon (its closest surface is the demo loop,
+reference scripts/demo.py:58-80, one frame at a time); this module turns the
+fused Predictor program into a multi-client service the TPU-native way:
+
+- Requests are coalesced by a dispatcher into fixed-shape batches (pad to
+  `batch_size`, one compiled XLA program for the whole service lifetime) —
+  dynamic batching amortizes the per-dispatch tunnel/PCIe RTT exactly like
+  the bench's lax.scan does, without recompiles.
+- Image bytes decode + letterbox on the host (native vkio memory decode
+  when built — request bytes never touch the filesystem — cv2 fallback
+  bit-identical), so the device program sees one static (B, S, S, 3) uint8
+  shape regardless of client image sizes.
+- Detections rescale to each client's original frame via the same
+  `scale_coords` math as eval (ops/letterbox.py).
+
+HTTP API (stdlib http.server, threaded; no extra dependencies):
+  POST /predict            body = encoded image (JPEG/PNG/...)
+                           optional ?conf= post-filter (>= server conf)
+                           -> {"detections": [{"box", "score", "class",
+                               "label"}], "width", "height", "batched"}
+  GET  /healthz            -> {"ok": true, "platform": "...", "model": ...}
+  GET  /stats              -> request/batch counters + latency percentiles
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from vision_kit_tpu.ops.letterbox import letterbox_np, scale_coords
+
+
+def decode_request_bytes(data: bytes, dst_hw: tuple[int, int]):
+    """Encoded image bytes -> (letterboxed (H, W, 3) uint8 RGB,
+    (ratio, (dw, dh)), (h0, w0)) or None. Native vkio memory decode when
+    available, cv2 fallback (bit-identical letterbox geometry)."""
+    import os
+
+    from vision_kit_tpu.data import native
+
+    if not os.environ.get("VK_NO_NATIVE") and native.available():
+        return native.decode_letterbox_bytes(data, dst_hw)
+    import cv2
+
+    arr = np.frombuffer(data, np.uint8)
+    bgr = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+    if bgr is None:
+        return None
+    rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+    img, (ratio, pad) = letterbox_np(rgb, dst_hw)
+    return img, (ratio, pad), rgb.shape[:2]
+
+
+class _Request:
+    __slots__ = ("img", "ratio", "pad", "hw0", "conf", "event", "dets",
+                 "batched", "error")
+
+    def __init__(self, img, ratio, pad, hw0, conf):
+        self.img = img
+        self.ratio = ratio
+        self.pad = pad
+        self.hw0 = hw0
+        self.conf = conf
+        self.event = threading.Event()
+        self.dets = None
+        self.batched = 0
+        self.error = None
+
+
+_STOP = object()
+
+
+class InferenceServer:
+    """Dynamic-batching HTTP server over a Predictor.
+
+    One fixed (batch_size, S, S, 3) program serves every request: the
+    dispatcher drains the queue up to `batch_size` items (waiting at most
+    `max_wait_ms` after the first), zero-pads the remainder, and runs the
+    batch as a single device dispatch. Padded slots are discarded.
+    """
+
+    def __init__(
+        self,
+        predictor,
+        class_labels=None,
+        batch_size: int = 8,
+        max_wait_ms: float = 5.0,
+        host: str = "127.0.0.1",
+        port: int = 8000,
+        queue_size: int = 256,
+        request_timeout_s: float = 60.0,
+    ):
+        self.predictor = predictor
+        self.labels = list(class_labels) if class_labels else None
+        self.batch_size = int(batch_size)
+        self.max_wait_s = float(max_wait_ms) / 1000.0
+        self.request_timeout_s = float(request_timeout_s)
+        self.img_size = predictor.img_size
+        self._queue: queue.Queue = queue.Queue(maxsize=queue_size)
+        self._stats_mu = threading.Lock()
+        self._n_requests = 0
+        self._n_errors = 0
+        self._n_batches = 0
+        self._n_batched_imgs = 0
+        self._lat_ms: list[float] = []  # rolling window
+        self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                            daemon=True)
+        self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
+        self._httpd.daemon_threads = True
+        self._serve_thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._started = False
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self, warmup: bool = True):
+        """Compile the serving program (one compile, reused forever) and
+        accept connections."""
+        if warmup:
+            self.predictor.warmup(self.img_size, self.batch_size)
+        self._dispatcher.start()
+        self._serve_thread.start()
+        self._started = True
+        return self
+
+    def stop(self):
+        if self._started:
+            self._queue.put(_STOP)
+            self._httpd.shutdown()
+            self._dispatcher.join(timeout=10)
+        self._httpd.server_close()
+        self._started = False
+
+    def serve_forever(self):
+        """Blocking variant for the CLI."""
+        self.start()
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.stop()
+
+    # -- batching core -----------------------------------------------------
+
+    def _dispatch_loop(self):
+        while True:
+            first = self._queue.get()
+            if first is _STOP:
+                return
+            reqs = [first]
+            deadline = time.monotonic() + self.max_wait_s
+            while len(reqs) < self.batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    item = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if item is _STOP:
+                    self._run_batch(reqs)
+                    return
+                reqs.append(item)
+            self._run_batch(reqs)
+
+    def _run_batch(self, reqs: list[_Request]):
+        t0 = time.perf_counter()
+        try:
+            h, w = self.img_size
+            imgs = np.zeros((self.batch_size, h, w, 3), np.uint8)
+            for i, r in enumerate(reqs):
+                imgs[i] = r.img
+            dets_list, _ = self.predictor.predict_batch(imgs)
+        except Exception as e:  # surface device errors to every waiter
+            for r in reqs:
+                r.error = f"inference failed: {e}"
+                r.event.set()
+            with self._stats_mu:
+                self._n_errors += len(reqs)
+            return
+        ms = (time.perf_counter() - t0) * 1000
+        for r, d in zip(reqs, dets_list):
+            boxes = scale_coords(
+                self.img_size, np.asarray(d), r.hw0,
+                ratio_pad=(r.ratio, r.pad),
+            )
+            if r.conf is not None:
+                boxes = boxes[boxes[:, 4] >= r.conf]
+            r.dets = boxes
+            r.batched = len(reqs)
+            r.event.set()
+        with self._stats_mu:
+            self._n_batches += 1
+            self._n_batched_imgs += len(reqs)
+            self._lat_ms.append(ms)
+            if len(self._lat_ms) > 512:
+                self._lat_ms = self._lat_ms[-512:]
+
+    # -- request handling --------------------------------------------------
+
+    def _predict(self, body: bytes, conf: float | None):
+        decoded = decode_request_bytes(body, self.img_size)
+        if decoded is None:
+            raise ValueError("could not decode image bytes")
+        img, (ratio, pad), hw0 = decoded
+        req = _Request(img, ratio, pad, hw0, conf)
+        try:
+            self._queue.put_nowait(req)
+        except queue.Full:
+            raise OverflowError("server overloaded (queue full)")
+        if not req.event.wait(self.request_timeout_s):
+            raise TimeoutError("inference timed out")
+        if req.error is not None:
+            raise RuntimeError(req.error)
+        with self._stats_mu:
+            self._n_requests += 1
+        dets = req.dets
+        out = []
+        for row in dets:
+            cls = int(row[5])
+            out.append({
+                "box": [round(float(v), 2) for v in row[:4]],
+                "score": round(float(row[4]), 5),
+                "class": cls,
+                "label": (self.labels[cls]
+                          if self.labels and 0 <= cls < len(self.labels)
+                          else str(cls)),
+            })
+        return {
+            "detections": out,
+            "width": int(req.hw0[1]),
+            "height": int(req.hw0[0]),
+            "batched": req.batched,
+        }
+
+    def _stats(self):
+        with self._stats_mu:
+            lat = sorted(self._lat_ms)
+            n = len(lat)
+            pct = (lambda q: round(lat[min(n - 1, int(q * n))], 2)) if n else (
+                lambda q: None)
+            return {
+                "requests": self._n_requests,
+                "errors": self._n_errors,
+                "batches": self._n_batches,
+                "avg_batch": (round(self._n_batched_imgs / self._n_batches, 2)
+                              if self._n_batches else 0.0),
+                "batch_size": self.batch_size,
+                "p50_batch_ms": pct(0.50),
+                "p99_batch_ms": pct(0.99),
+            }
+
+    def _healthz(self):
+        import jax
+
+        return {
+            "ok": True,
+            "platform": jax.devices()[0].platform,
+            "img_size": list(self.img_size),
+            "batch_size": self.batch_size,
+        }
+
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):  # silence per-request spam
+                pass
+
+            def _json(self, code: int, payload: dict):
+                try:
+                    body = json.dumps(payload).encode()
+                    self.send_response(code)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client went away; nothing to tell it
+
+            def do_GET(self):
+                path = self.path.split("?", 1)[0]
+                if path == "/healthz":
+                    self._json(200, server._healthz())
+                elif path == "/stats":
+                    self._json(200, server._stats())
+                else:
+                    self._json(404, {"error": f"unknown path {path}"})
+
+            def do_POST(self):
+                path, _, query = self.path.partition("?")
+                if path != "/predict":
+                    self._json(404, {"error": f"unknown path {path}"})
+                    return
+                length = int(self.headers.get("Content-Length") or 0)
+                if length <= 0:
+                    self._json(400, {"error": "empty body"})
+                    return
+                body = self.rfile.read(length)
+                conf = None
+                for kv in query.split("&"):
+                    if kv.startswith("conf="):
+                        try:
+                            conf = float(kv[5:])
+                        except ValueError:
+                            self._json(400, {"error": "bad conf value"})
+                            return
+                try:
+                    self._json(200, server._predict(body, conf))
+                except ValueError as e:
+                    self._json(400, {"error": str(e)})
+                except OverflowError as e:
+                    self._json(503, {"error": str(e)})
+                except TimeoutError as e:
+                    self._json(504, {"error": str(e)})
+                except Exception as e:
+                    self._json(500, {"error": str(e)})
+
+        return Handler
