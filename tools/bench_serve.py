@@ -1,0 +1,176 @@
+"""Serving-daemon benchmark: steady-state throughput + request latency of
+vision_kit_tpu/serve.py's batching engine.
+
+Two modes:
+  --engine (default)  bypass HTTP: feed pre-decoded requests straight into
+                      the dispatcher queue. Measures the batching + async
+                      dispatch/completion pipeline + device program — the
+                      serving engine's ceiling (the dispatch/readback
+                      overlap is what hides the ~20 ms tunnel RTT).
+  --http              full localhost stack (decode + HTTP + engine). On
+                      this 1-core host the JPEG decode dominates; the
+                      number characterizes the host, not the TPU.
+
+Run alone (never concurrently with another TPU bench — CLAUDE.md).
+
+NOTE: over the tunneled test-harness TPU the engine number is host->device
+BANDWIDTH-bound (~30-46 MB/s measured; 78.6 MB per v5s@640 batch-64 ->
+~41 img/s), because serving ships fresh request bytes every dispatch —
+unlike bench.py, which keeps the batch device-resident by design. On
+co-located hardware (PCIe/DMA) the engine ceiling is the program's ~4000
+img/s. See DESIGN.md "Measurement discipline".
+
+  python tools/bench_serve.py --batch 64 --requests 1920
+  JAX_PLATFORMS=cpu python tools/bench_serve.py --variant n --img 64 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_server(variant: str, img: int, batch: int, max_wait_ms: float):
+    import jax
+    import jax.numpy as jnp
+
+    from vision_kit_tpu.models.architectures import YOLOV5
+    from vision_kit_tpu.predictor import Predictor
+    from vision_kit_tpu.serve import InferenceServer
+
+    model = YOLOV5(variant=variant, num_classes=80)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3)), training=False
+    )
+    predictor = Predictor(model, variables, img_size=(img, img))
+    return InferenceServer(
+        predictor, batch_size=batch, max_wait_ms=max_wait_ms, port=0,
+        queue_size=4096,
+    )
+
+
+def bench_engine(server, n_requests: int, warmup_batches: int = 4):
+    """Feed _Requests directly; measure submit->completion throughput."""
+    from vision_kit_tpu.serve import _Request
+
+    h, w = server.img_size
+    img = np.random.default_rng(0).integers(0, 256, (h, w, 3), np.uint8)
+
+    def make(n):
+        return [_Request(img, 1.0, (0.0, 0.0), (h, w), None) for _ in range(n)]
+
+    # warmup (compile + pipeline fill)
+    reqs = make(warmup_batches * server.batch_size)
+    for r in reqs:
+        server._queue.put(r)
+    for r in reqs:
+        assert r.event.wait(600), "warmup timed out"
+        assert r.error is None, r.error
+
+    reqs = make(n_requests)
+    lat0 = time.perf_counter()
+    feeder = threading.Thread(
+        target=lambda: [server._queue.put(r) for r in reqs], daemon=True
+    )
+    feeder.start()
+    for r in reqs:
+        assert r.event.wait(600), "request timed out"
+        assert r.error is None, r.error
+    wall = time.perf_counter() - lat0
+    feeder.join()
+    return n_requests / wall
+
+
+def bench_http(server, n_requests: int, concurrency: int = 32):
+    import json
+    import urllib.request
+
+    import cv2
+
+    frame = np.random.default_rng(0).integers(0, 256, (720, 1280, 3), np.uint8)
+    ok, enc = cv2.imencode(".jpg", frame, [cv2.IMWRITE_JPEG_QUALITY, 90])
+    assert ok
+    data = enc.tobytes()
+    url = f"http://127.0.0.1:{server.port}/predict"
+
+    def post():
+        req = urllib.request.Request(url, data=data, method="POST")
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            json.loads(resp.read())
+
+    post()  # warmup
+    lat: list[float] = []
+    mu = threading.Lock()
+    per_thread = n_requests // concurrency
+
+    def worker():
+        for _ in range(per_thread):
+            t0 = time.perf_counter()
+            post()
+            with mu:
+                lat.append(time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=worker) for _ in range(concurrency)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    lat.sort()
+    n = len(lat)
+    return n / wall, lat[n // 2] * 1000, lat[int(0.99 * n)] * 1000
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", default="s")
+    ap.add_argument("--img", type=int, default=640)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--max-wait-ms", type=float, default=2.0)
+    ap.add_argument("--requests", type=int, default=1920)
+    ap.add_argument("--http", action="store_true")
+    ap.add_argument("--concurrency", type=int, default=32)
+    args = ap.parse_args()
+
+    from vision_kit_tpu.utils.jax_platform import (
+        honor_platform_env,
+        setup_compilation_cache,
+    )
+
+    honor_platform_env()
+    setup_compilation_cache()
+
+    server = build_server(args.variant, args.img, args.batch, args.max_wait_ms)
+    print(f"compiling serving program (v5{args.variant}@{args.img} "
+          f"batch={args.batch}) ...", flush=True)
+    t0 = time.perf_counter()
+    server.start()
+    print(f"compiled in {time.perf_counter() - t0:.1f}s", flush=True)
+    try:
+        if args.http:
+            ips, p50, p99 = bench_http(server, args.requests,
+                                       args.concurrency)
+            print(f"http: {ips:.1f} img/s  p50 {p50:.1f} ms  "
+                  f"p99 {p99:.1f} ms  (decode+HTTP+engine, "
+                  f"concurrency={args.concurrency})")
+        else:
+            ips = bench_engine(server, args.requests)
+            print(f"engine: {ips:.1f} img/s  (batch={args.batch}, "
+                  f"pipelined dispatch/readback)")
+        import jax
+
+        print(f"device: {jax.devices()[0].platform}")
+    finally:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

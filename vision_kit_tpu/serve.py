@@ -104,6 +104,15 @@ class InferenceServer:
         self.request_timeout_s = float(request_timeout_s)
         self.img_size = predictor.img_size
         self._queue: queue.Queue = queue.Queue(maxsize=queue_size)
+        # dispatch/completion pipeline: the dispatcher submits batches to
+        # the device (async under jax) and hands the in-flight device
+        # arrays to a completion thread that pays the device->host
+        # readback; the next batch dispatches while the previous one's
+        # results are still in flight (hides the per-dispatch RTT —
+        # the dominant serving cost over a tunneled/PCIe link). maxsize
+        # bounds the device queue depth.
+        self._inflight: queue.Queue = queue.Queue(maxsize=2)
+        self._fn = None  # compiled (batch, S, S, 3) program, set in start()
         self._stats_mu = threading.Lock()
         self._n_requests = 0
         self._n_errors = 0
@@ -112,6 +121,8 @@ class InferenceServer:
         self._lat_ms: list[float] = []  # rolling window
         self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                             daemon=True)
+        self._completer = threading.Thread(target=self._completion_loop,
+                                           daemon=True)
         self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
         self._httpd.daemon_threads = True
         self._serve_thread = threading.Thread(
@@ -125,12 +136,12 @@ class InferenceServer:
     def port(self) -> int:
         return self._httpd.server_address[1]
 
-    def start(self, warmup: bool = True):
+    def start(self):
         """Compile the serving program (one compile, reused forever) and
         accept connections."""
-        if warmup:
-            self.predictor.warmup(self.img_size, self.batch_size)
+        self._fn = self.predictor.warmup(self.img_size, self.batch_size)
         self._dispatcher.start()
+        self._completer.start()
         self._serve_thread.start()
         self._started = True
         return self
@@ -140,6 +151,7 @@ class InferenceServer:
             self._queue.put(_STOP)
             self._httpd.shutdown()
             self._dispatcher.join(timeout=10)
+            self._completer.join(timeout=10)
         self._httpd.server_close()
         self._started = False
 
@@ -160,9 +172,11 @@ class InferenceServer:
         while True:
             first = self._queue.get()
             if first is _STOP:
+                self._inflight.put(_STOP)
                 return
             reqs = [first]
             deadline = time.monotonic() + self.max_wait_s
+            stop = False
             while len(reqs) < self.batch_size:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
@@ -172,43 +186,69 @@ class InferenceServer:
                 except queue.Empty:
                     break
                 if item is _STOP:
-                    self._run_batch(reqs)
-                    return
+                    stop = True
+                    break
                 reqs.append(item)
-            self._run_batch(reqs)
+            self._submit_batch(reqs)
+            if stop:
+                self._inflight.put(_STOP)
+                return
 
-    def _run_batch(self, reqs: list[_Request]):
+    def _submit_batch(self, reqs: list[_Request]):
+        """Async-dispatch one padded batch; readback happens in the
+        completion thread so the next batch can dispatch immediately."""
+        import jax.numpy as jnp
+
         t0 = time.perf_counter()
         try:
             h, w = self.img_size
             imgs = np.zeros((self.batch_size, h, w, 3), np.uint8)
             for i, r in enumerate(reqs):
                 imgs[i] = r.img
-            dets_list, _ = self.predictor.predict_batch(imgs)
-        except Exception as e:  # surface device errors to every waiter
+            dev = self._fn(jnp.asarray(imgs))  # returns before completion
+        except Exception as e:  # trace/shape errors surface immediately
             for r in reqs:
                 r.error = f"inference failed: {e}"
                 r.event.set()
             with self._stats_mu:
                 self._n_errors += len(reqs)
             return
-        ms = (time.perf_counter() - t0) * 1000
-        for r, d in zip(reqs, dets_list):
-            boxes = scale_coords(
-                self.img_size, np.asarray(d), r.hw0,
-                ratio_pad=(r.ratio, r.pad),
-            )
-            if r.conf is not None:
-                boxes = boxes[boxes[:, 4] >= r.conf]
-            r.dets = boxes
-            r.batched = len(reqs)
-            r.event.set()
-        with self._stats_mu:
-            self._n_batches += 1
-            self._n_batched_imgs += len(reqs)
-            self._lat_ms.append(ms)
-            if len(self._lat_ms) > 512:
-                self._lat_ms = self._lat_ms[-512:]
+        # blocks when 2 batches are already in flight (bounds device queue)
+        self._inflight.put((reqs, dev, t0))
+
+    def _completion_loop(self):
+        while True:
+            item = self._inflight.get()
+            if item is _STOP:
+                return
+            reqs, (dets_dev, valid_dev), t0 = item
+            try:
+                dets = np.asarray(dets_dev)  # pays the device->host wait
+                valid = np.asarray(valid_dev)
+            except Exception as e:  # async device failure lands here
+                for r in reqs:
+                    r.error = f"inference failed: {e}"
+                    r.event.set()
+                with self._stats_mu:
+                    self._n_errors += len(reqs)
+                continue
+            ms = (time.perf_counter() - t0) * 1000
+            for i, r in enumerate(reqs):
+                boxes = scale_coords(
+                    self.img_size, dets[i][valid[i]], r.hw0,
+                    ratio_pad=(r.ratio, r.pad),
+                )
+                if r.conf is not None:
+                    boxes = boxes[boxes[:, 4] >= r.conf]
+                r.dets = boxes
+                r.batched = len(reqs)
+                r.event.set()
+            with self._stats_mu:
+                self._n_batches += 1
+                self._n_batched_imgs += len(reqs)
+                self._lat_ms.append(ms)
+                if len(self._lat_ms) > 512:
+                    self._lat_ms = self._lat_ms[-512:]
 
     # -- request handling --------------------------------------------------
 
