@@ -52,6 +52,7 @@ struct ByteSource {
 
 cv::Mat ImDecodeSource(const ByteSource& src, int flag) {
   if (src.data != nullptr) {
+    if (src.len == 0) return {};  // imdecode asserts on an empty buffer
     const cv::Mat raw(1, static_cast<int>(src.len), CV_8UC1,
                       const_cast<uint8_t*>(src.data));
     return cv::imdecode(raw, flag);  // imdecode does not mutate the buffer
@@ -184,8 +185,8 @@ cv::Mat FastDecodeJpeg(const ByteSource& src, int max_h, int max_w,
 
 // One image: decode source -> letterboxed RGB uint8 into out
 // (dst_h*dst_w*3).
-LetterboxInfo DecodeLetterbox(const ByteSource& src, int dst_h, int dst_w,
-                              uint8_t* out, bool fast) {
+LetterboxInfo DecodeLetterboxImpl(const ByteSource& src, int dst_h,
+                                  int dst_w, uint8_t* out, bool fast) {
   LetterboxInfo info{0.f, 0.f, 0.f, 0, 0, 0};
   cv::Mat resized;  // RGB at (new_h, new_w)
   int h = 0, w = 0, new_h = 0, new_w = 0;
@@ -237,6 +238,19 @@ LetterboxInfo DecodeLetterbox(const ByteSource& src, int dst_h, int dst_w,
   return info;
 }
 
+// Exception firewall: a cv::Exception escaping the C ABI (or a thread-pool
+// worker) would std::terminate the embedding process — a single malformed
+// request must never kill a serving daemon. Failures report ok=0.
+LetterboxInfo DecodeLetterbox(const ByteSource& src, int dst_h, int dst_w,
+                              uint8_t* out, bool fast) {
+  try {
+    return DecodeLetterboxImpl(src, dst_h, dst_w, out, fast);
+  } catch (const std::exception&) {
+    std::memset(out, kPadValue, static_cast<size_t>(dst_h) * dst_w * 3);
+    return LetterboxInfo{0.f, 0.f, 0.f, 0, 0, 0};
+  }
+}
+
 // One image: decode path -> min-ratio resize (NO pad) into out
 // (max_h*max_w*3, row-major on the full max_w stride is NOT used — the
 // resized image is written packed at its own h*w*3 stride so the caller
@@ -244,8 +258,8 @@ LetterboxInfo DecodeLetterbox(const ByteSource& src, int dst_h, int dst_w,
 // `_decode_resized` exactly: ratio = min(max/src), new size via C-style
 // truncation of w*r / h*r (datasets.py:217-227), cv2 INTER_LINEAR.
 // meta: [h, w, h0, w0, ok] int32.
-void DecodeResize(const ByteSource& src, int max_h, int max_w, uint8_t* out,
-                  int32_t* meta, bool fast) {
+void DecodeResizeImpl(const ByteSource& src, int max_h, int max_w,
+                      uint8_t* out, int32_t* meta, bool fast) {
   meta[0] = meta[1] = meta[2] = meta[3] = meta[4] = 0;
   if (fast) {
     int h0 = 0, w0 = 0, new_h = 0, new_w = 0;
@@ -283,6 +297,16 @@ void DecodeResize(const ByteSource& src, int max_h, int max_w, uint8_t* out,
   meta[2] = h0;
   meta[3] = w0;
   meta[4] = 1;
+}
+
+// Exception firewall (see DecodeLetterbox): failures report meta ok=0.
+void DecodeResize(const ByteSource& src, int max_h, int max_w, uint8_t* out,
+                  int32_t* meta, bool fast) {
+  try {
+    DecodeResizeImpl(src, max_h, max_w, out, meta, fast);
+  } catch (const std::exception&) {
+    meta[0] = meta[1] = meta[2] = meta[3] = meta[4] = 0;
+  }
 }
 
 // Persistent thread pool (created once; survives across batch calls).

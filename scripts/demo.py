@@ -40,8 +40,35 @@ def load_model(model_name: str, variant: str, weights: str | None,
     return model, variables
 
 
-def main():
+def resolve_model_spec(args):
+    """model/variant/num_classes/labels/img_size from -m/-v defaults,
+    --config, and the --num-classes/--labels overrides (shared by the
+    demo and serve CLIs, which take the same flags)."""
     from vision_kit_tpu.classes import COCO
+
+    model_name, variant = args.model, args.variant
+    num_classes, labels, img_size = 80, list(COCO), (640, 640)
+    if args.config:
+        from vision_kit_tpu.utils.config import load_config
+
+        cfg = load_config(args.config)
+        model_name = "yolov7" if "7" in str(cfg.model.name) else "yolov5"
+        variant = str(cfg.model.version)
+        num_classes = int(cfg.model.num_classes)
+        labels = list(cfg.data.class_labels)
+        img_size = tuple(cfg.model.input_size)
+    if args.num_classes is not None:
+        num_classes = args.num_classes
+        if len(labels) != num_classes:
+            labels = [str(i) for i in range(num_classes)]
+    if args.labels is not None:
+        labels = [s.strip() for s in args.labels.split(",") if s.strip()]
+        if args.num_classes is None:
+            num_classes = len(labels)
+    return model_name, variant, num_classes, labels, img_size
+
+
+def main():
     from vision_kit_tpu.predictor import Predictor
     from vision_kit_tpu.utils.drawing import Drawing
     from vision_kit_tpu.utils.jax_platform import (
@@ -77,24 +104,9 @@ def main():
     parser.add_argument("--show", action="store_true")
     args = parser.parse_args()
 
-    model_name, variant = args.model, args.variant
-    num_classes, labels, img_size = 80, list(COCO), (640, 640)
-    if args.config:
-        from vision_kit_tpu.utils.config import load_config
-
-        cfg = load_config(args.config)
-        model_name = "yolov7" if "7" in str(cfg.model.name) else "yolov5"
-        variant = str(cfg.model.version)
-        num_classes = int(cfg.model.num_classes)
-        labels = list(cfg.data.class_labels)
-        img_size = tuple(cfg.model.input_size)
-    if args.num_classes is not None:
-        num_classes = args.num_classes
-        if len(labels) != num_classes:
-            labels = [str(i) for i in range(num_classes)]
-    if args.labels is not None:
-        labels = [s.strip() for s in args.labels.split(",") if s.strip()]
-        num_classes = len(labels) if args.num_classes is None else num_classes
+    model_name, variant, num_classes, labels, img_size = resolve_model_spec(
+        args
+    )
 
     model, variables = load_model(
         model_name, variant, args.weights, num_classes=num_classes,

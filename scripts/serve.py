@@ -19,7 +19,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    from vision_kit_tpu.classes import COCO
     from vision_kit_tpu.predictor import Predictor
     from vision_kit_tpu.serve import InferenceServer
     from vision_kit_tpu.utils.jax_platform import (
@@ -53,28 +52,12 @@ def main():
                              "after the first request arrives")
     args = parser.parse_args()
 
-    model_name, variant = args.model, args.variant
-    num_classes, labels, img_size = 80, list(COCO), (640, 640)
-    if args.config:
-        from vision_kit_tpu.utils.config import load_config
+    # scripts/demo.py: shared model loading + flag resolution (same flags)
+    from demo import load_model, resolve_model_spec
 
-        cfg = load_config(args.config)
-        model_name = "yolov7" if "7" in str(cfg.model.name) else "yolov5"
-        variant = str(cfg.model.version)
-        num_classes = int(cfg.model.num_classes)
-        labels = list(cfg.data.class_labels)
-        img_size = tuple(cfg.model.input_size)
-    if args.num_classes is not None:
-        num_classes = args.num_classes
-        if len(labels) != num_classes:
-            labels = [str(i) for i in range(num_classes)]
-    if args.labels is not None:
-        labels = [s.strip() for s in args.labels.split(",") if s.strip()]
-        if args.num_classes is None:
-            num_classes = len(labels)
-
-    from demo import load_model  # scripts/demo.py: shared loading logic
-
+    model_name, variant, num_classes, labels, img_size = resolve_model_spec(
+        args
+    )
     model, variables = load_model(
         model_name, variant, args.weights, num_classes=num_classes,
         img_size=img_size,
@@ -92,15 +75,7 @@ def main():
     server.start()
     print(f"serving {model_name}-{variant} on http://{args.host}:{server.port}"
           f"  (POST /predict, GET /healthz, GET /stats)")
-    try:
-        while True:
-            import time
-
-            time.sleep(3600)
-    except KeyboardInterrupt:
-        print("shutting down")
-    finally:
-        server.stop()
+    server.wait()  # blocks; KeyboardInterrupt shuts down cleanly
 
 
 if __name__ == "__main__":

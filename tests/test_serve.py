@@ -178,6 +178,84 @@ def test_unknown_path_is_404(server):
     assert ei.value.code == 404
 
 
+def test_truncated_body_is_400_and_server_survives(server):
+    """A client that advertises Content-Length but disconnects early must
+    get a 400 — and must NOT kill the process (a cv::Exception escaping
+    the native decode used to SIGABRT the daemon)."""
+    import socket
+
+    s = socket.create_connection(("127.0.0.1", server.port), timeout=30)
+    s.sendall(
+        b"POST /predict HTTP/1.1\r\nHost: x\r\nContent-Length: 1000\r\n"
+        b"\r\nonly-a-few-bytes"
+    )
+    s.shutdown(socket.SHUT_WR)
+    resp = s.recv(65536).decode(errors="replace")
+    s.close()
+    assert " 400 " in resp.splitlines()[0]
+    # server must still be alive and serving
+    status, payload = _get(f"http://127.0.0.1:{server.port}/healthz")
+    assert status == 200 and payload["ok"] is True
+
+
+def test_oversized_body_is_413(server):
+    import socket
+
+    s = socket.create_connection(("127.0.0.1", server.port), timeout=30)
+    s.sendall(
+        b"POST /predict HTTP/1.1\r\nHost: x\r\n"
+        b"Content-Length: 9999999999\r\n\r\n"
+    )
+    resp = s.recv(65536).decode(errors="replace")
+    s.close()
+    assert " 413 " in resp.splitlines()[0]
+
+
+def test_post_unknown_path_does_not_corrupt_keepalive(server):
+    """404'd POST bodies are unframed leftovers on a keep-alive stream;
+    the server must close the connection rather than parse the body as
+    the next request."""
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+    conn.request("POST", "/nope", body=b"\x08garbage-image-bytes" * 100)
+    resp = conn.getresponse()
+    assert resp.status == 404
+    resp.read()
+    assert resp.getheader("Connection") == "close" or resp.isclosed()
+    conn.close()
+    status, _ = _get(f"http://127.0.0.1:{server.port}/healthz")
+    assert status == 200
+
+
+def test_completion_firewall_survives_bad_request_object(server):
+    """Engine-level contract (tools/bench_serve.py feeds _Requests
+    directly): a malformed request must error itself, not kill the
+    completion thread and wedge the pipeline."""
+    from vision_kit_tpu.serve import _Request
+
+    h, w = server.img_size
+    img = np.zeros((h, w, 3), np.uint8)
+    bad = _Request(img, 1.0, (0.0, 0.0), (h, w), conf="not-a-float")
+    server._queue.put(bad)
+    assert bad.event.wait(120)
+    assert bad.error is not None and "postprocess" in bad.error
+    # pipeline still serves HTTP afterwards
+    status, payload = _post(
+        f"http://127.0.0.1:{server.port}/predict",
+        _jpeg_bytes(_test_image(seed=9)),
+    )
+    assert status == 200 and "detections" in payload
+
+
+def test_native_empty_bytes_decode_returns_none():
+    from vision_kit_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native vkio not built")
+    assert native.decode_letterbox_bytes(b"", (64, 64)) is None
+
+
 def test_decode_request_bytes_native_python_identical(monkeypatch):
     """Native memory decode and the cv2 fallback must agree bit-for-bit
     (same contract as the file-path decode, tests/test_native.py)."""

@@ -108,7 +108,8 @@ def bench_http(server, n_requests: int, concurrency: int = 32):
     post()  # warmup
     lat: list[float] = []
     mu = threading.Lock()
-    per_thread = n_requests // concurrency
+    # ceil so no requests are silently dropped; actual count is len(lat)
+    per_thread = max(1, -(-n_requests // concurrency))
 
     def worker():
         for _ in range(per_thread):

@@ -60,9 +60,9 @@ def decode_request_bytes(data: bytes, dst_hw: tuple[int, int]):
 
 class _Request:
     __slots__ = ("img", "ratio", "pad", "hw0", "conf", "event", "dets",
-                 "batched", "error")
+                 "batched", "error", "deadline")
 
-    def __init__(self, img, ratio, pad, hw0, conf):
+    def __init__(self, img, ratio, pad, hw0, conf, deadline=None):
         self.img = img
         self.ratio = ratio
         self.pad = pad
@@ -72,6 +72,10 @@ class _Request:
         self.dets = None
         self.batched = 0
         self.error = None
+        # monotonic time after which the waiter has already 504'd; the
+        # dispatcher drops expired requests instead of spending batch
+        # slots on results nobody reads (overload must drain, not amplify)
+        self.deadline = deadline
 
 
 _STOP = object()
@@ -155,9 +159,8 @@ class InferenceServer:
         self._httpd.server_close()
         self._started = False
 
-    def serve_forever(self):
-        """Blocking variant for the CLI."""
-        self.start()
+    def wait(self):
+        """Block until KeyboardInterrupt, then shut down."""
         try:
             while True:
                 time.sleep(3600)
@@ -166,7 +169,19 @@ class InferenceServer:
         finally:
             self.stop()
 
+    def serve_forever(self):
+        """Blocking variant for the CLI."""
+        self.start()
+        self.wait()
+
     # -- batching core -----------------------------------------------------
+
+    def _expired(self, req: _Request) -> bool:
+        if req.deadline is not None and time.monotonic() >= req.deadline:
+            req.error = "expired before dispatch"
+            req.event.set()  # waiter already timed out; unblock bookkeeping
+            return True
+        return False
 
     def _dispatch_loop(self):
         while True:
@@ -174,6 +189,8 @@ class InferenceServer:
             if first is _STOP:
                 self._inflight.put(_STOP)
                 return
+            if self._expired(first):
+                continue
             reqs = [first]
             deadline = time.monotonic() + self.max_wait_s
             stop = False
@@ -188,7 +205,8 @@ class InferenceServer:
                 if item is _STOP:
                     stop = True
                     break
-                reqs.append(item)
+                if not self._expired(item):
+                    reqs.append(item)
             self._submit_batch(reqs)
             if stop:
                 self._inflight.put(_STOP)
@@ -234,14 +252,22 @@ class InferenceServer:
                 continue
             ms = (time.perf_counter() - t0) * 1000
             for i, r in enumerate(reqs):
-                boxes = scale_coords(
-                    self.img_size, dets[i][valid[i]], r.hw0,
-                    ratio_pad=(r.ratio, r.pad),
-                )
-                if r.conf is not None:
-                    boxes = boxes[boxes[:, 4] >= r.conf]
-                r.dets = boxes
-                r.batched = len(reqs)
+                # per-request firewall: one bad rescale/filter must fail
+                # that request, not kill this thread (a dead completer
+                # wedges the bounded pipeline and 504s everything after)
+                try:
+                    boxes = scale_coords(
+                        self.img_size, dets[i][valid[i]], r.hw0,
+                        ratio_pad=(r.ratio, r.pad),
+                    )
+                    if r.conf is not None:
+                        boxes = boxes[boxes[:, 4] >= r.conf]
+                    r.dets = boxes
+                    r.batched = len(reqs)
+                except Exception as e:
+                    r.error = f"postprocess failed: {e}"
+                    with self._stats_mu:
+                        self._n_errors += 1
                 r.event.set()
             with self._stats_mu:
                 self._n_batches += 1
@@ -257,7 +283,8 @@ class InferenceServer:
         if decoded is None:
             raise ValueError("could not decode image bytes")
         img, (ratio, pad), hw0 = decoded
-        req = _Request(img, ratio, pad, hw0, conf)
+        req = _Request(img, ratio, pad, hw0, conf,
+                       deadline=time.monotonic() + self.request_timeout_s)
         try:
             self._queue.put_nowait(req)
         except queue.Full:
@@ -343,16 +370,30 @@ class InferenceServer:
                 else:
                     self._json(404, {"error": f"unknown path {path}"})
 
+            MAX_BODY = 32 * 1024 * 1024  # one encoded image; 413 beyond
+
             def do_POST(self):
                 path, _, query = self.path.partition("?")
                 if path != "/predict":
+                    # body not consumed: the keep-alive stream is no longer
+                    # framed correctly, so close after responding
+                    self.close_connection = True
                     self._json(404, {"error": f"unknown path {path}"})
                     return
                 length = int(self.headers.get("Content-Length") or 0)
                 if length <= 0:
                     self._json(400, {"error": "empty body"})
                     return
+                if length > self.MAX_BODY:
+                    self.close_connection = True  # refuse to buffer/drain it
+                    self._json(413, {"error": f"body over {self.MAX_BODY} B"})
+                    return
                 body = self.rfile.read(length)
+                if len(body) != length:
+                    # truncated upload; stream is desynced, close it
+                    self.close_connection = True
+                    self._json(400, {"error": "truncated body"})
+                    return
                 conf = None
                 for kv in query.split("&"):
                     if kv.startswith("conf="):
