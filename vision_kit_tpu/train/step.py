@@ -54,7 +54,7 @@ def create_train_state(model, variables, tx) -> TrainState:
 
 def make_train_step(model, loss_fn: YoloLoss, tx, mesh=None, donate=True,
                     spatial=False, remat=False, accum_steps: int = 1,
-                    device_aug: bool = False):
+                    device_aug: bool = False, scale_to: int | None = None):
     """Build the jitted train step.
 
     batch: {"image": (B, H, W, 3) float in [0,1], "targets": (B, M, 5)};
@@ -77,6 +77,15 @@ def make_train_step(model, loss_fn: YoloLoss, tx, mesh=None, donate=True,
     the 3x3-conv halo equals the whole shard and XLA SPMD's halo-exchange
     gradient is wrong (verified: exact parity at >= 2 rows/shard, divergent
     at 1 row/shard).
+
+    scale_to: multi-scale training (ultralytics-style size jitter; the
+    reference has none). The host pipeline and the H2D transfer stay at the
+    base size — the batch is resized to (scale_to, scale_to) ON DEVICE in
+    the model's compute dtype, fused into the same XLA program as the
+    forward (normalized targets need no adjustment; the anchors live in
+    stride units, so a larger rendering of the same object simply matches
+    larger anchors — the reference loss semantics under scale jitter).
+    Build one step per size; jit caches each compile.
 
     accum_steps > 1 enables gradient accumulation (the reference has none —
     PL default 1, SURVEY §2.7): the batch splits into accum_steps
@@ -108,6 +117,19 @@ def make_train_step(model, loss_fn: YoloLoss, tx, mesh=None, donate=True,
         # normalizes after its space-to-depth transpose so the layout move
         # streams u8 bytes and no full-image f32 intermediate materializes
         # (models/layers.py ConvBnAct)
+
+        if scale_to is not None and imgs.shape[1:3] != (scale_to, scale_to):
+            # multi-scale: device-side bilinear resize in compute dtype.
+            # uint8 normalizes here (resize and the 1/255 scale commute);
+            # the model then sees its normalized-float input contract.
+            cdtype = getattr(model, "dtype", None) or jnp.float32
+            x = imgs.astype(cdtype)
+            if imgs.dtype == jnp.uint8:
+                x = x * (1.0 / 255.0)
+            imgs = jax.image.resize(
+                x, (imgs.shape[0], scale_to, scale_to, imgs.shape[3]),
+                "bilinear",
+            )
 
         def forward(params, stats, x):
             return model.apply(

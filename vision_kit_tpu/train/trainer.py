@@ -161,6 +161,14 @@ class Trainer:
             remat=bool(getattr(cfg.data, "remat", False)),
             device_aug=self.device_aug,
         )
+        # optional extra: multi-scale training (cfg data.multiscale:
+        # true -> base +/- {64, 128}; or an explicit list of sizes). The
+        # batch resizes ON DEVICE inside the step (host pipeline + H2D stay
+        # at the base size); one cached compile per size, re-drawn every
+        # MS_INTERVAL steps from a seeded stream (deterministic under
+        # --seed, like everything else).
+        self.ms_sizes = self._parse_multiscale(cfg)
+        self._ms_steps: dict[int, object] = {}
         self.eval_step = make_eval_step(
             self.model, mesh=self.mesh,
             postprocess_kwargs=dict(
@@ -202,6 +210,51 @@ class Trainer:
                 )
             except Exception:
                 self.wandb = None
+
+    MS_INTERVAL = 10  # steps between size re-draws (ultralytics cadence)
+
+    def _parse_multiscale(self, cfg):
+        """cfg data.multiscale -> sorted size list or None (off)."""
+        ms = getattr(cfg.data, "multiscale", False)
+        if not ms:
+            return None
+        if self.img_size[0] != self.img_size[1]:
+            raise ValueError("data.multiscale requires a square input_size")
+        base = int(self.img_size[0])
+        if isinstance(ms, (list, tuple)):
+            sizes = sorted({int(s) for s in ms})
+        else:
+            sizes = sorted({max(64, base + d)
+                            for d in (-128, -64, 0, 64, 128)})
+        for s in sizes:
+            if s % 32:
+                # the stride-32 pyramid needs whole cells at every level
+                raise ValueError(f"multiscale size {s} not a multiple of 32")
+        if base not in sizes:
+            sizes.append(base)
+            sizes.sort()
+        return sizes
+
+    def _train_step_for(self, gstep: int):
+        """The (possibly size-jittered) train step for global step `gstep`."""
+        if not self.ms_sizes:
+            return self.train_step
+        import numpy as np
+
+        rng = np.random.default_rng([self.seed, 4242, gstep // self.MS_INTERVAL])
+        size = self.ms_sizes[int(rng.integers(len(self.ms_sizes)))]
+        if size == int(self.img_size[0]):
+            return self.train_step
+        step = self._ms_steps.get(size)
+        if step is None:
+            step = self._ms_steps[size] = make_train_step(
+                self.model, self.loss, self.tx, mesh=self.mesh,
+                accum_steps=int(getattr(self.cfg.data, "accum_steps", 1) or 1),
+                remat=bool(getattr(self.cfg.data, "remat", False)),
+                device_aug=self.device_aug,
+                scale_to=size,
+            )
+        return step
 
     def _log_scalar(self, name: str, value: float, step: int):
         if self.tb:
@@ -396,7 +449,10 @@ class Trainer:
                     self._save_grid(batch, "train")
                     first_batch_saved = True
                 sharded = shard_batch(self.mesh, batch)
-                self.state, metrics = self.train_step(self.state, sharded)
+                step_fn = self._train_step_for(
+                    epoch * self.steps_per_epoch + step
+                )
+                self.state, metrics = step_fn(self.state, sharded)
                 losses.append(metrics)
             # one sync per epoch
             losses = jax.device_get(losses[-1])
