@@ -245,7 +245,7 @@ LetterboxInfo DecodeLetterbox(const ByteSource& src, int dst_h, int dst_w,
                               uint8_t* out, bool fast) {
   try {
     return DecodeLetterboxImpl(src, dst_h, dst_w, out, fast);
-  } catch (const std::exception&) {
+  } catch (...) {  // ANY escape aborts the process; catch-all is the point
     std::memset(out, kPadValue, static_cast<size_t>(dst_h) * dst_w * 3);
     return LetterboxInfo{0.f, 0.f, 0.f, 0, 0, 0};
   }
@@ -304,7 +304,7 @@ void DecodeResize(const ByteSource& src, int max_h, int max_w, uint8_t* out,
                   int32_t* meta, bool fast) {
   try {
     DecodeResizeImpl(src, max_h, max_w, out, meta, fast);
-  } catch (const std::exception&) {
+  } catch (...) {
     meta[0] = meta[1] = meta[2] = meta[3] = meta[4] = 0;
   }
 }

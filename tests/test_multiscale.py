@@ -42,7 +42,7 @@ def _batch(base=64, b=2, seed=0):
     return {"image": jnp.asarray(imgs), "targets": jnp.asarray(targets)}
 
 
-def test_scale_to_runs_and_updates(tmp_path):
+def test_scale_to_runs_and_updates():
     """scale_to=128 on a 64-base batch: step runs, loss finite, params
     move, and the head maps inside the loss saw the 128 grid (loss differs
     from the base-size step on the same batch)."""
@@ -70,6 +70,17 @@ def test_scale_to_base_is_identity():
     _, m1 = step_base(state, batch)
     _, m2 = step_same(state, batch)
     assert float(m1["loss"]) == float(m2["loss"])
+
+
+def test_scale_to_with_accumulation():
+    """scale_to composes with accum_steps (the resize runs per microbatch
+    so accumulation keeps its one-microbatch activation budget)."""
+    model, loss, tx, state = _setup()
+    batch = _batch(b=4, seed=3)
+    step = make_train_step(model, loss, tx, donate=False, accum_steps=2,
+                           scale_to=128)
+    _, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
 
 
 def test_scale_down():

@@ -248,6 +248,25 @@ def test_completion_firewall_survives_bad_request_object(server):
     assert status == 200 and "detections" in payload
 
 
+def test_post_without_content_length_is_400_and_closes(server):
+    """A body the server can't frame (chunked / no Content-Length) gets a
+    400 that also ends the keep-alive stream."""
+    import socket
+
+    s = socket.create_connection(("127.0.0.1", server.port), timeout=30)
+    s.sendall(
+        b"POST /predict HTTP/1.1\r\nHost: x\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"5\r\nhello\r\n0\r\n\r\n"
+    )
+    resp = s.recv(65536).decode(errors="replace")
+    s.close()
+    assert " 400 " in resp.splitlines()[0]
+    assert "connection: close" in resp.lower()
+    status, _ = _get(f"http://127.0.0.1:{server.port}/healthz")
+    assert status == 200
+
+
 def test_native_empty_bytes_decode_returns_none():
     from vision_kit_tpu.data import native
 

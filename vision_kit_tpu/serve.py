@@ -176,10 +176,14 @@ class InferenceServer:
 
     # -- batching core -----------------------------------------------------
 
+    EXPIRED = "expired before dispatch"
+
     def _expired(self, req: _Request) -> bool:
         if req.deadline is not None and time.monotonic() >= req.deadline:
-            req.error = "expired before dispatch"
+            req.error = self.EXPIRED
             req.event.set()  # waiter already timed out; unblock bookkeeping
+            with self._stats_mu:
+                self._n_errors += 1
             return True
         return False
 
@@ -291,6 +295,10 @@ class InferenceServer:
             raise OverflowError("server overloaded (queue full)")
         if not req.event.wait(self.request_timeout_s):
             raise TimeoutError("inference timed out")
+        if req.error == self.EXPIRED:
+            # the dispatcher's clock crossed the deadline marginally before
+            # this waiter's own wait() would have — same outcome, same code
+            raise TimeoutError("inference timed out")
         if req.error is not None:
             raise RuntimeError(req.error)
         with self._stats_mu:
@@ -356,6 +364,10 @@ class InferenceServer:
                     self.send_response(code)
                     self.send_header("Content-Type", "application/json")
                     self.send_header("Content-Length", str(len(body)))
+                    if self.close_connection:
+                        # tell keep-alive clients the stream ends here
+                        # (set on paths that left the request body unread)
+                        self.send_header("Connection", "close")
                     self.end_headers()
                     self.wfile.write(body)
                 except (BrokenPipeError, ConnectionResetError):
@@ -382,7 +394,11 @@ class InferenceServer:
                     return
                 length = int(self.headers.get("Content-Length") or 0)
                 if length <= 0:
-                    self._json(400, {"error": "empty body"})
+                    # absent Content-Length (e.g. a chunked body): frames
+                    # are left unread on the stream — close it
+                    self.close_connection = True
+                    self._json(400, {"error": "empty body (a body requires "
+                                     "Content-Length; chunked unsupported)"})
                     return
                 if length > self.MAX_BODY:
                     self.close_connection = True  # refuse to buffer/drain it

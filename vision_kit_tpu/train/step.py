@@ -118,18 +118,25 @@ def make_train_step(model, loss_fn: YoloLoss, tx, mesh=None, donate=True,
         # streams u8 bytes and no full-image f32 intermediate materializes
         # (models/layers.py ConvBnAct)
 
-        if scale_to is not None and imgs.shape[1:3] != (scale_to, scale_to):
+        def maybe_scale(x):
             # multi-scale: device-side bilinear resize in compute dtype.
             # uint8 normalizes here (resize and the 1/255 scale commute);
             # the model then sees its normalized-float input contract.
+            if scale_to is None or x.shape[1:3] == (scale_to, scale_to):
+                return x
             cdtype = getattr(model, "dtype", None) or jnp.float32
-            x = imgs.astype(cdtype)
-            if imgs.dtype == jnp.uint8:
-                x = x * (1.0 / 255.0)
-            imgs = jax.image.resize(
-                x, (imgs.shape[0], scale_to, scale_to, imgs.shape[3]),
-                "bilinear",
+            xf = x.astype(cdtype)
+            if x.dtype == jnp.uint8:
+                xf = xf * (1.0 / 255.0)
+            return jax.image.resize(
+                xf, (x.shape[0], scale_to, scale_to, x.shape[3]), "bilinear"
             )
+
+        if accum_steps == 1:
+            # (with accumulation the resize runs per microbatch instead —
+            # a full-batch scaled intermediate would defeat accumulation's
+            # one-microbatch activation budget)
+            imgs = maybe_scale(imgs)
 
         def forward(params, stats, x):
             return model.apply(
@@ -184,6 +191,7 @@ def make_train_step(model, loss_fn: YoloLoss, tx, mesh=None, donate=True,
             def micro_step(carry, mb):
                 stats, g_acc, t_acc, p_acc = carry
                 x, tgt = mb
+                x = maybe_scale(x)  # per-microbatch (see note above)
                 if mesh is not None:
                     x = jax.lax.with_sharding_constraint(
                         x,

@@ -239,8 +239,6 @@ class Trainer:
         """The (possibly size-jittered) train step for global step `gstep`."""
         if not self.ms_sizes:
             return self.train_step
-        import numpy as np
-
         rng = np.random.default_rng([self.seed, 4242, gstep // self.MS_INTERVAL])
         size = self.ms_sizes[int(rng.integers(len(self.ms_sizes)))]
         if size == int(self.img_size[0]):
