@@ -293,6 +293,43 @@ def test_decode_request_bytes_native_python_identical(monkeypatch):
     assert tuple(got[2]) == tuple(want[2])  # (h0, w0)
 
 
+def test_server_over_multichip_predictor():
+    """docs/DEPLOY.md claim: InferenceServer composes with a mesh-sharded
+    Predictor — the serving batch shards over the data axis (virtual
+    8-device mesh, conftest)."""
+    from vision_kit_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=4, n_model=1)
+    model = YOLOV5(variant="n", num_classes=2)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, *IMG_SIZE, 3)), training=False
+    )
+    pred = Predictor(model, variables, img_size=IMG_SIZE, conf_thres=0.01,
+                     mesh=mesh)
+    srv = InferenceServer(pred, batch_size=4, max_wait_ms=100.0, port=0)
+    srv.start()
+    try:
+        url = f"http://127.0.0.1:{srv.port}/predict"
+        results = [None, None]
+
+        def worker(i):
+            results[i] = _post(url, _jpeg_bytes(_test_image(seed=20 + i)))
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(r[0] == 200 for r in results)
+        for _, payload in results:
+            for det in payload["detections"]:
+                x1, y1, x2, y2 = det["box"]
+                assert 0 <= x1 <= x2 <= 128 and 0 <= y1 <= y2 <= 96
+    finally:
+        srv.stop()
+
+
 def test_decode_request_bytes_png():
     """Non-JPEG formats decode through the same entry point."""
     img = _test_image(h=80, w=100, seed=5)
