@@ -33,6 +33,15 @@ namespace {
 
 constexpr int kPadValue = 114;
 
+// Python round() is round-half-to-EVEN (banker's); std::lround is
+// half-away-from-zero. The letterbox new-size math must match
+// letterbox_params (ops/letterbox.py:44) bit-for-bit, and .5 crossings
+// are reachable (e.g. 957*0.5). nearbyint honors the default
+// FE_TONEAREST mode = ties-to-even.
+inline int RoundHalfEven(double x) {
+  return static_cast<int>(std::nearbyint(x));
+}
+
 struct LetterboxInfo {
   float ratio;
   float dw;
@@ -157,9 +166,9 @@ cv::Mat FastDecodeJpeg(const ByteSource& src, int max_h, int max_w,
   // geometry of the exact paths: truncation for DecodeResize
   // (datasets.py int(w0*r)), rounding for DecodeLetterbox
   const int new_w = truncate ? static_cast<int>(p.w0 * r)
-                             : static_cast<int>(std::lround(p.w0 * r));
+                             : RoundHalfEven(p.w0 * r);
   const int new_h = truncate ? static_cast<int>(p.h0 * r)
-                             : static_cast<int>(std::lround(p.h0 * r));
+                             : RoundHalfEven(p.h0 * r);
   const int f = PickReduceFactor(p.h0, p.w0, new_h, new_w);
   if (f < 2) return {};
   const int flag = f == 8 ? cv::IMREAD_REDUCED_COLOR_8
@@ -208,8 +217,8 @@ LetterboxInfo DecodeLetterboxImpl(const ByteSource& src, int dst_h,
     w = rgb.cols;
     const double r = std::min(static_cast<double>(dst_h) / h,
                               static_cast<double>(dst_w) / w);
-    new_w = static_cast<int>(std::lround(w * r));
-    new_h = static_cast<int>(std::lround(h * r));
+    new_w = RoundHalfEven(w * r);
+    new_h = RoundHalfEven(h * r);
     if (new_w != w || new_h != h) {
       cv::resize(rgb, resized, cv::Size(new_w, new_h), 0, 0,
                  cv::INTER_LINEAR);
@@ -222,8 +231,8 @@ LetterboxInfo DecodeLetterboxImpl(const ByteSource& src, int dst_h,
 
   const double dw = (dst_w - new_w) / 2.0;
   const double dh = (dst_h - new_h) / 2.0;
-  const int top = static_cast<int>(std::lround(dh - 0.1));
-  const int left = static_cast<int>(std::lround(dw - 0.1));
+  const int top = RoundHalfEven(dh - 0.1);
+  const int left = RoundHalfEven(dw - 0.1);
 
   cv::Mat canvas(dst_h, dst_w, CV_8UC3, out);
   canvas.setTo(cv::Scalar(kPadValue, kPadValue, kPadValue));

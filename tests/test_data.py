@@ -86,6 +86,32 @@ def test_image_cache_parity(yolo_dir, mode):
         np.testing.assert_array_equal(img_d, plain.pull_item(5)[0])
 
 
+def test_label_path_under_images_ancestor(tmp_path):
+    """An ancestor directory named 'images' must not hijack the
+    image->label path mapping (reference yolo.py:249 uses the LAST
+    /images/ occurrence)."""
+    from vision_kit_tpu.data.datasets import _img2label_path
+
+    assert (
+        _img2label_path("/mnt/images/mydata/images/train/img.jpg")
+        == "/mnt/images/mydata/labels/train/img.txt"
+    )
+    # end-to-end: labels found (not silently empty) under such a root
+    root = tmp_path / "images" / "myset"
+    (root / "images" / "train").mkdir(parents=True)
+    (root / "labels" / "train").mkdir(parents=True)
+    img = np.full((64, 64, 3), 120, np.uint8)
+    img[10:40, 10:50] = (200, 30, 30)
+    cv2.imwrite(str(root / "images" / "train" / "a.jpg"), img)
+    (root / "labels" / "train" / "a.txt").write_text(
+        "0 0.46875 0.390625 0.625 0.46875"
+    )
+    ds = YOLODataset(str(root), img_size=64, cache=False)
+    assert len(ds) == 1
+    _, labels, _, _ = ds.pull_item(0)
+    assert len(labels) == 1
+
+
 def test_label_cache_roundtrip(yolo_dir):
     ds1 = YOLODataset(yolo_dir, img_size=320, cache=True)
     ds2 = YOLODataset(yolo_dir, img_size=320, cache=True)  # from cache

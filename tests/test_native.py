@@ -173,3 +173,22 @@ def test_mosaic_native_matches_python(tmp_path, monkeypatch):
     img_p, lab_p = mds.getitem(np.random.default_rng(7), 0)
     np.testing.assert_array_equal(img_n, img_p)
     np.testing.assert_array_equal(lab_n, lab_p)
+
+
+@pytest.mark.skipif(not native.available(), reason="native vkio not built")
+def test_native_letterbox_half_pixel_rounding(tmp_path):
+    """Exact .5 crossings in the letterbox new-size math: Python round()
+    is half-to-EVEN; the native path must match bit-for-bit (957 * 0.5 =
+    478.5 -> 478, not lround's 479)."""
+    from vision_kit_tpu.ops.letterbox import letterbox_np
+
+    img = np.linspace(0, 255, 957 * 1280 * 3).reshape(957, 1280, 3)
+    img = img.astype(np.uint8)
+    path = str(tmp_path / "half.png")
+    cv2.imwrite(path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    out = native.decode_letterbox(path, (640, 640))
+    assert out is not None
+    nat_img, (nat_r, nat_pad) = out
+    py_img, (py_r, py_pad) = letterbox_np(img, (640, 640))
+    np.testing.assert_array_equal(nat_img, py_img)
+    assert nat_pad == py_pad

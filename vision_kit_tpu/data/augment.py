@@ -188,13 +188,19 @@ class ValAugPipeline:
         self.img_sz = (img_sz, img_sz) if isinstance(img_sz, int) else tuple(img_sz)
 
     def __call__(self, rng, img, labels):
+        out, labels, _ = self.apply(img, labels)
+        return out, labels
+
+    def apply(self, img, labels):
+        """Like __call__ but also returns the (ratio, (dw, dh)) actually
+        applied, so callers rescale eval coords with the SAME transform
+        instead of re-deriving it (they could drift)."""
         from vision_kit_tpu.ops.letterbox import letterbox_np
 
-        h0, w0 = img.shape[:2]
         out, (ratio, pad) = letterbox_np(img, self.img_sz)
         if len(labels):
             labels = labels.copy()
             labels[:, :4] *= ratio
             labels[:, [0, 2]] += pad[0]
             labels[:, [1, 3]] += pad[1]
-        return out, labels
+        return out, labels, (ratio, pad)

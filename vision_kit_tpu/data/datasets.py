@@ -134,7 +134,9 @@ def _fast_decode_resized(path: str, max_hw):
 def _img2label_path(img_path: str) -> str:
     sa = os.sep + "images" + os.sep
     sb = os.sep + "labels" + os.sep
-    base, _ = os.path.splitext(img_path.replace(sa, sb, 1))
+    # LAST /images/ occurrence (reference yolo.py:249 rsplit): an ancestor
+    # directory named "images" must not hijack the mapping
+    base, _ = os.path.splitext(sb.join(img_path.rsplit(sa, 1)))
     return base + ".txt"
 
 
@@ -275,7 +277,10 @@ class _ImageCacheMixin:
         """Batched pull_item (same tuples): parallel native decode when the
         images are not already cached. The ValLoader's per-batch entry."""
         idxs = list(idxs)
-        if self.cache_images:
+        # per-item path only when a cache is actually live in THIS process
+        # (a spawn worker drops the RAM cache in __getstate__ and should use
+        # the native batch decode instead of per-item decode)
+        if self._ram_cache is not None or self.cache_images == "disk":
             return [self.pull_item(i) for i in idxs]
         decoded = self._decode_resized_batch(idxs)
         return [
@@ -284,9 +289,30 @@ class _ImageCacheMixin:
             for (img, hw0), i in zip(decoded, idxs)
         ]
 
+    def _decode_resized_py(self, idx: int):
+        """cv2 decode + min-ratio resize — THE geometry contract mirrored
+        bit-for-bit by native DecodeResize (vkio.cpp): r = min(max/src),
+        C-style int truncation of w*r / h*r, INTER_LINEAR. One copy for
+        every dataset format; raw pixel loading is the `load_image` hook."""
+        img = self.load_image(idx)
+        h0, w0 = img.shape[:2]
+        r = min(self.input_dim[0] / h0, self.input_dim[1] / w0)
+        if r != 1:
+            img = cv2.resize(
+                img,
+                (int(w0 * r), int(h0 * r)),
+                interpolation=cv2.INTER_LINEAR,
+            )
+        return img, (h0, w0)
+
     def __getstate__(self):
         state = dict(self.__dict__)
         state["_mm"] = None  # memmap handles don't pickle; reopen in worker
+        # NEVER ship the RAM cache to spawn workers: pickling it copies the
+        # whole decoded dataset per worker (num_workers+1 x memory).
+        # Workers fall back to per-item decode (disk cache still memmaps
+        # cheaply); the parent process keeps its cache for the eval path.
+        state["_ram_cache"] = None
         return state
 
 
@@ -476,18 +502,6 @@ class YOLODataset(_ImageCacheMixin):
     def _item_id(self, idx: int):
         return idx
 
-    def _decode_resized_py(self, idx: int):
-        img = self.load_image(idx)
-        h0, w0 = img.shape[:2]
-        r = min(self.input_dim[0] / h0, self.input_dim[1] / w0)
-        if r != 1:
-            img = cv2.resize(
-                img,
-                (int(w0 * r), int(h0 * r)),
-                interpolation=cv2.INTER_LINEAR,
-            )
-        return img, (h0, w0)
-
     def _labels_resized(self, idx: int, img_hw, hw0) -> np.ndarray:
         """Normalized label rows -> absolute xyxy+cls in the resized frame."""
         h, w = img_hw
@@ -603,20 +617,13 @@ class COCODataset(_ImageCacheMixin):
     def _item_id(self, idx: int):
         return self.items[idx]["id"]
 
-    def _decode_resized_py(self, idx: int):
+    def load_image(self, idx: int) -> np.ndarray:
+        """Raw RGB pixels (the `_decode_resized_py` hook)."""
         path = self._image_path(idx)
         img = cv2.imread(path)
         if img is None:
             raise IOError(f"image unreadable: {path}")
-        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-        h0, w0 = img.shape[:2]
-        r = min(self.input_dim[0] / h0, self.input_dim[1] / w0)
-        if r != 1:
-            img = cv2.resize(
-                img, (int(w0 * r), int(h0 * r)),
-                interpolation=cv2.INTER_LINEAR,
-            )
-        return img, (h0, w0)
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
     def _labels_resized(self, idx: int, img_hw, hw0) -> np.ndarray:
         h0, w0 = hw0

@@ -331,6 +331,10 @@ class DeviceAugPlanner:
                 "host pipeline for rotated affines"
             )
         self.dataset = dataset
+        # label counts are immutable per idx; memoize so datasets without a
+        # labels/items table (wrappers, custom) pay load_anno's decode at
+        # most ONCE per index instead of per mixup-retry probe
+        self._label_counts: dict[int, int] = {}
         self.input_dim = (
             (img_size, img_size) if isinstance(img_size, int)
             else tuple(img_size)
@@ -377,7 +381,12 @@ class DeviceAugPlanner:
                 cp = -1
                 for _ in range(30):
                     cand = int(rng.integers(0, len(self.dataset)))
-                    if _label_count(self.dataset, cand):
+                    n = self._label_counts.get(cand)
+                    if n is None:
+                        n = self._label_counts[cand] = _label_count(
+                            self.dataset, cand
+                        )
+                    if n:
                         cp = cand
                         break
                 if cp >= 0:

@@ -286,6 +286,10 @@ class TrainLoader:
             while True:
                 item = self._queue.get()
                 if isinstance(item, tuple) and item and item[0] == "__error__":
+                    # the producer thread exited after shipping this; reset
+                    # so a caller that catches the error and re-iterates
+                    # gets a fresh producer instead of a silent deadlock
+                    self._started = False
                     raise RuntimeError(f"data worker failed:\n{item[1]}")
                 self._next_bid += 1
                 yield item
@@ -444,10 +448,7 @@ class ValLoader:
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size
 
     def _make_batch(self, start: int):
-        from vision_kit_tpu.ops.letterbox import letterbox_params
-
         n = len(self.dataset)
-        rng = np.random.default_rng(0)  # unused by ValAugPipeline
         idxs = list(range(start, min(start + self.batch_size, n)))
         count = len(idxs)
         while len(idxs) < self.batch_size:
@@ -459,10 +460,10 @@ class ValLoader:
         )
         imgs, labels, infos = [], [], []
         for img, lab, (h0, w0), img_id in items:
-            # dataset pre-resized by r0; letterbox the rest of the way
-            img2, lab2 = self.pipeline(rng, img, lab)
+            # dataset pre-resized by r0; letterbox the rest of the way —
+            # rescale info comes from the pipeline's OWN transform
+            img2, lab2, (r1, pad) = self.pipeline.apply(img, lab)
             r0 = min(self.img_size[0] / h0, self.img_size[1] / w0)
-            _, _, r1, pad = letterbox_params(img.shape[:2], self.img_size)
             imgs.append(img2)
             labels.append(lab2)
             infos.append((h0, w0, r0 * r1, pad, img_id))
