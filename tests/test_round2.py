@@ -187,3 +187,99 @@ def test_observability_tb_scalars_and_grids(tmp_path):
             )
     finally:
         trainer.train_loader.close()
+
+
+def test_loader_seek_continues_stream(tmp_path):
+    """seek(b) on a fresh loader must reproduce exactly the batches a
+    continuous run yields from position b (batches are deterministic per
+    batch id), and a live loader must reject seek."""
+    from vision_kit_tpu.data.datasets import YOLODataset
+    from vision_kit_tpu.data.loader import TrainLoader
+
+    _write_split(tmp_path, "train", 8)
+    ds = YOLODataset(str(tmp_path / "train"), img_size=(64, 64))
+
+    def make():
+        return TrainLoader(ds, 2, img_size=(64, 64), aug_cfg=dict(AUG),
+                           seed=7)
+
+    a = make()
+    try:
+        it = iter(a)
+        ref = [next(it) for _ in range(5)]
+    finally:
+        a.close()
+
+    b = make()
+    try:
+        b.seek(3)
+        itb = iter(b)
+        for k in (3, 4):
+            got = next(itb)
+            np.testing.assert_array_equal(got["image"], ref[k]["image"])
+            np.testing.assert_array_equal(got["targets"], ref[k]["targets"])
+        with pytest.raises(RuntimeError, match="idle"):
+            b.seek(0)
+    finally:
+        b.close()
+
+
+def test_crash_resume_matches_uninterrupted_run(tmp_path):
+    """Crash mid-training, resume from the crash-save checkpoint: the final
+    params must be bit-identical to an uninterrupted run — i.e. resume
+    continues the exact data stream (loader seek), LR schedule, EMA and
+    optimizer state an uninterrupted run would have."""
+    _write_split(tmp_path, "train", 8)
+    _write_split(tmp_path, "valid", 2)
+    mesh = make_mesh(n_data=1, n_model=1)
+
+    def cfg():
+        return _cfg(tmp_path, max_epochs=3, batch_size=2,
+                    ckpt_interval=100)
+
+    c = cfg()
+    c.testing.val_interval = 100  # no val: isolate the train-path state
+
+    # uninterrupted 3-epoch run (steps_per_epoch = 8/2 = 4)
+    tr_a = Trainer(c, mesh=mesh, use_tensorboard=False, seed=5)
+    try:
+        tr_a.fit()
+        ref_leaves = _param_leaves(tr_a)
+    finally:
+        tr_a.train_loader.close()
+
+    # same config, crash during epoch 2 (0-indexed), before its first
+    # real step runs: state == end of epoch 1, meta epoch == 0+1-1 ... the
+    # crash handler records the last COMPLETED epoch (1)
+    c2 = cfg()
+    c2.data.output_dir = str(tmp_path / "out2")
+    os.makedirs(c2.data.output_dir, exist_ok=True)
+    c2.testing.val_interval = 100
+    tr_b = Trainer(c2, mesh=mesh, use_tensorboard=False, seed=5)
+    calls = {"n": 0}
+    orig = tr_b.train_step
+
+    def exploding(state, batch):
+        calls["n"] += 1
+        if calls["n"] > 8:  # epochs 0+1 complete (8 steps), die in epoch 2
+            raise RuntimeError("boom")
+        return orig(state, batch)
+
+    tr_b.train_step = exploding
+    with pytest.raises(RuntimeError, match="boom"):
+        tr_b.fit()
+    tr_b.train_loader.close()
+    path = os.path.join(c2.data.output_dir, "ckpts", "last")
+    assert os.path.exists(path)
+
+    # resume: must seek the loader to epoch2's first batch id (8) and
+    # finish bit-identical to the uninterrupted run
+    tr_c = Trainer(c2, mesh=mesh, use_tensorboard=False, seed=5)
+    try:
+        tr_c.fit(resume=path)
+        assert tr_c.train_loader._next_bid >= 8  # stream really fast-forwarded
+        res_leaves = _param_leaves(tr_c)
+    finally:
+        tr_c.train_loader.close()
+    for a_leaf, c_leaf in zip(ref_leaves, res_leaves):
+        np.testing.assert_array_equal(a_leaf, c_leaf)

@@ -190,6 +190,23 @@ class TrainLoader:
         self._mp_queues: list = []
         self._next_bid = 0
 
+    def seek(self, batch_id: int) -> None:
+        """Position the stream so the next produced batch is `batch_id`.
+
+        Batches are deterministic per batch id (the index stream is
+        random-access), so resuming training at global step s only needs
+        `seek(s)` to continue the exact data sequence an uninterrupted run
+        would have seen. Only valid while no producer is running (before
+        the first iteration, or after close())."""
+        if self._started or self._procs:
+            raise RuntimeError(
+                "seek() requires an idle loader — call it before iterating "
+                "or after close()"
+            )
+        if batch_id < 0:
+            raise ValueError(f"batch_id must be >= 0, got {batch_id}")
+        self._next_bid = int(batch_id)
+
     def _make_batch(self, batch_id: int):
         return self._batch_fn(
             self.index_stream, self.batch_size, self.img_size,

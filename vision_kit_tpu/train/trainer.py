@@ -430,6 +430,14 @@ class Trainer:
         if resume:
             start_epoch = self.load_checkpoint(resume) + 1
             logger.info("resumed from %s at epoch %d", resume, start_epoch)
+            # Continue the exact data stream an uninterrupted run would see:
+            # batches are deterministic per batch id and an uninterrupted run
+            # has consumed steps_per_epoch ids per completed epoch. Without
+            # this the resumed epochs would replay the stream from batch 0.
+            try:
+                self.train_loader.seek(start_epoch * self.steps_per_epoch)
+            except RuntimeError as e:  # loader already iterating (re-fit on
+                logger.warning("resume seek skipped: %s", e)  # a live object)
 
         lr_weight, _, _ = lr_schedules(
             dict(self.cfg.hypermeters), self.max_epochs, self.steps_per_epoch,
