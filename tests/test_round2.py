@@ -283,3 +283,26 @@ def test_crash_resume_matches_uninterrupted_run(tmp_path):
         tr_c.train_loader.close()
     for a_leaf, c_leaf in zip(ref_leaves, res_leaves):
         np.testing.assert_array_equal(a_leaf, c_leaf)
+
+
+def test_early_stop_counter_survives_resume(tmp_path):
+    """epochs_no_improve is checkpoint meta: a resumed run keeps counting
+    patience where the interrupted run left off."""
+    _write_split(tmp_path, "train", 4)
+    _write_split(tmp_path, "valid", 2)
+    cfg = _cfg(tmp_path)
+    mesh = make_mesh(n_data=1, n_model=1)
+    tr = Trainer(cfg, mesh=mesh, use_tensorboard=False)
+    try:
+        tr.epochs_no_improve = 3
+        tr.best_map50 = 0.5
+        tr.save_checkpoint("last", 0, blocking=True)
+    finally:
+        tr.train_loader.close()
+    tr2 = Trainer(cfg, mesh=mesh, use_tensorboard=False)
+    try:
+        tr2.load_checkpoint(os.path.join(cfg.data.output_dir, "ckpts", "last"))
+        assert tr2.epochs_no_improve == 3
+        assert tr2.best_map50 == 0.5
+    finally:
+        tr2.train_loader.close()

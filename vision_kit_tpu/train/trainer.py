@@ -373,7 +373,8 @@ class Trainer:
         if blocking:
             self._ckptr.wait_until_finished()
         with open(path + ".meta.json", "w") as f:
-            json.dump({"epoch": epoch, "best_map50": self.best_map50}, f)
+            json.dump({"epoch": epoch, "best_map50": self.best_map50,
+                       "epochs_no_improve": self.epochs_no_improve}, f)
 
     @staticmethod
     def _save_args(state):
@@ -400,6 +401,9 @@ class Trainer:
                 meta = json.load(f)
             epoch = int(meta.get("epoch", 0))
             self.best_map50 = float(meta.get("best_map50", -1.0))
+            # early-stopping patience survives resume (an uninterrupted run
+            # would still be counting)
+            self.epochs_no_improve = int(meta.get("epochs_no_improve", 0))
         return epoch
 
     # -- loops ------------------------------------------------------------
