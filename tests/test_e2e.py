@@ -236,12 +236,14 @@ def test_trainer_crash_saves_checkpoint(tmp_path, monkeypatch):
     path = os.path.join(cfg.data.output_dir, "ckpts", "last")
     assert os.path.exists(path)
     meta = json.load(open(path + ".meta.json"))
-    # last COMPLETED epoch: crash happened during epoch 3 (0-indexed), so
-    # resume (+1) re-runs it
+    # 3 steps completed before the boom (steps_per_epoch=1): the resume
+    # cursor is meta["step"]; epoch stays informational (last COMPLETED)
+    assert meta["step"] == 3
     assert meta["epoch"] == 2
     trainer2 = Trainer(cfg, mesh=make_mesh(n_data=1, n_model=1),
                        use_tensorboard=False)
-    assert trainer2.load_checkpoint(path) == 2
+    assert trainer2.load_checkpoint(path) == 3
+    assert trainer2.global_step == 3
     trainer.train_loader.close()
     trainer2.train_loader.close()
 

@@ -1,0 +1,253 @@
+"""Round-3 behaviors: exact-position resume at STEP granularity.
+
+ADVICE r2 (medium): the round-2 'crash-then-resume is bit-identical'
+guarantee only held for epoch-boundary crashes — a mid-epoch crash-save
+replayed already-applied batches. Now checkpoint meta carries the global
+step and resume seeks the data stream to exactly that step; a crash inside
+validate() marks the validation pending and resume re-runs it.
+"""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+import jax
+
+from vision_kit_tpu.parallel.mesh import make_mesh
+from vision_kit_tpu.train.trainer import Trainer
+from vision_kit_tpu.utils.config import ConfigNode
+
+HYP = {"lr0": 0.01, "lrf": 0.01, "momentum": 0.937, "weight_decay": 0.0005,
+       "warmup_epochs": 0.0, "warmup_bias_lr": 0.1, "warmup_momentum": 0.8,
+       "box": 0.05, "cls": 0.5, "obj": 1.0, "cls_pw": 1.0, "obj_pw": 1.0,
+       "iou_t": 0.2, "anchor_t": 4.0, "fl_gamma": 0.0,
+       "label_smoothing": 0.0}
+AUG = {"degrees": 0.0, "translate": 0.1, "scale": 0.5, "shear": 0.0,
+       "flip_ud_prob": 0.0, "flip_lr_prob": 0.5, "mosaic_prob": 1.0,
+       "mixup_prob": 0.0, "hsv_prob": 1.0, "mosaic_scale": [0.5, 1.5],
+       "mixup_scale": [0.5, 1.5], "enable_mixup": False,
+       "enable_mosaic": True}
+
+
+def _write_split(root, split, n, box="0 0.5 0.5 0.4 0.3", shade=90):
+    (root / split / "images").mkdir(parents=True, exist_ok=True)
+    (root / split / "labels").mkdir(parents=True, exist_ok=True)
+    for i in range(n):
+        img = np.full((96, 96, 3), shade, np.uint8)
+        img[30:60, 30:70] = (200, 60, 60)
+        cv2.imwrite(str(root / split / "images" / f"{i}.jpg"), img)
+        (root / split / "labels" / f"{i}.txt").write_text(box)
+
+
+def _cfg(tmp_path, out="out", **data_overrides):
+    data = {"data_format": "yolo", "data_dir": str(tmp_path),
+            "output_dir": str(tmp_path / out), "train_path": "train",
+            "val_path": "valid", "batch_size": 2, "max_epochs": 3,
+            "num_workers": 0, "filter_classes": [],
+            "class_labels": ["a", "b"], "ckpt_interval": 100}
+    data.update(data_overrides)
+    cfg = ConfigNode.wrap({
+        "model": {"name": "YOLOv5", "version": "n", "num_classes": 2,
+                  "input_size": [64, 64], "act": "silu", "deploy": False,
+                  "weight": ""},
+        "data": data,
+        "testing": {"conf_thresh": 0.001, "iou_thresh": 0.6,
+                    "val_interval": 100},
+        "hypermeters": dict(HYP),
+        "augmentations": dict(AUG),
+    })
+    os.makedirs(cfg.data.output_dir, exist_ok=True)
+    return cfg
+
+
+def _state_leaves(trainer):
+    """Every leaf of the full TrainState (params + opt + EMA + step)."""
+    return [np.asarray(x) for x in
+            jax.tree_util.tree_leaves(jax.device_get(trainer.state))]
+
+
+def _crash_after(trainer, n_steps):
+    """Make trainer.train_step raise after `n_steps` successful calls.
+    Returns the original step fn (to restore for a same-object resume)."""
+    calls = {"n": 0}
+    orig = trainer.train_step
+
+    def exploding(state, batch):
+        calls["n"] += 1
+        if calls["n"] > n_steps:
+            raise RuntimeError("boom")
+        return orig(state, batch)
+
+    trainer.train_step = exploding
+    return orig
+
+
+def test_mid_epoch_crash_resume_bit_identical(tmp_path):
+    """Crash MID-epoch (10 of 12 steps done, 2 into epoch 2): the crash-save
+    must record step=10 and resume must continue at batch id 10 — no batch
+    applied twice, final full TrainState bit-identical to an uninterrupted
+    run (ADVICE r2 medium)."""
+    _write_split(tmp_path, "train", 8)   # steps_per_epoch = 8/2 = 4
+    _write_split(tmp_path, "valid", 2)
+    mesh = make_mesh(n_data=1, n_model=1)
+
+    tr_a = Trainer(_cfg(tmp_path), mesh=mesh, use_tensorboard=False, seed=5)
+    try:
+        tr_a.fit()
+        ref_leaves = _state_leaves(tr_a)
+    finally:
+        tr_a.train_loader.close()
+
+    c2 = _cfg(tmp_path, out="out2")
+    tr_b = Trainer(c2, mesh=mesh, use_tensorboard=False, seed=5)
+    _crash_after(tr_b, 10)  # die at step 11: mid-epoch-2
+    with pytest.raises(RuntimeError, match="boom"):
+        tr_b.fit()
+    tr_b.train_loader.close()
+    path = os.path.join(c2.data.output_dir, "ckpts", "last")
+    import json
+
+    meta = json.load(open(path + ".meta.json"))
+    assert meta["step"] == 10
+
+    tr_c = Trainer(c2, mesh=mesh, use_tensorboard=False, seed=5)
+    try:
+        tr_c.fit(resume=path)
+        assert tr_c.train_loader._next_bid >= 12
+        res_leaves = _state_leaves(tr_c)
+    finally:
+        tr_c.train_loader.close()
+    for a, c in zip(ref_leaves, res_leaves):
+        np.testing.assert_array_equal(a, c)
+
+
+def test_mid_validation_crash_resume_bit_identical(tmp_path):
+    """Crash INSIDE validate() after an epoch's training completed: the
+    crash-save marks the validation pending; resume re-runs it (same
+    weights, deterministic) so best/patience side effects match an
+    uninterrupted run, then training continues bit-identically."""
+    _write_split(tmp_path, "train", 8)
+    _write_split(tmp_path, "valid", 2)
+    mesh = make_mesh(n_data=1, n_model=1)
+
+    cfg_a = _cfg(tmp_path)
+    cfg_a.testing.val_interval = 1
+    tr_a = Trainer(cfg_a, mesh=mesh, use_tensorboard=False, seed=5)
+    try:
+        tr_a.fit()
+        ref_leaves = _state_leaves(tr_a)
+        ref_best = tr_a.best_map50
+        ref_no_improve = tr_a.epochs_no_improve
+    finally:
+        tr_a.train_loader.close()
+
+    c2 = _cfg(tmp_path, out="out2")
+    c2.testing.val_interval = 1
+    tr_b = Trainer(c2, mesh=mesh, use_tensorboard=False, seed=5)
+    vcalls = {"n": 0}
+    orig_validate = tr_b.validate
+
+    def exploding_validate(*a, **k):
+        vcalls["n"] += 1
+        if vcalls["n"] == 2:  # die inside epoch 1's validation
+            raise RuntimeError("valboom")
+        return orig_validate(*a, **k)
+
+    tr_b.validate = exploding_validate
+    with pytest.raises(RuntimeError, match="valboom"):
+        tr_b.fit()
+    tr_b.train_loader.close()
+    path = os.path.join(c2.data.output_dir, "ckpts", "last")
+    import json
+
+    meta = json.load(open(path + ".meta.json"))
+    assert meta["step"] == 8  # epochs 0+1 trained before the val crash
+    assert meta["val_pending"] is True
+
+    tr_c = Trainer(c2, mesh=mesh, use_tensorboard=False, seed=5)
+    try:
+        tr_c.fit(resume=path)
+        res_leaves = _state_leaves(tr_c)
+    finally:
+        tr_c.train_loader.close()
+    assert tr_c.best_map50 == ref_best
+    assert tr_c.epochs_no_improve == ref_no_improve
+    for a, c in zip(ref_leaves, res_leaves):
+        np.testing.assert_array_equal(a, c)
+
+
+def test_refit_resume_on_live_loader_reseeks(tmp_path):
+    """fit(resume=...) on a Trainer whose loader already iterated must NOT
+    silently continue from the live stream position (ADVICE r2 low): the
+    loader is closed and re-seeked, so the result is still bit-identical."""
+    _write_split(tmp_path, "train", 8)
+    _write_split(tmp_path, "valid", 2)
+    mesh = make_mesh(n_data=1, n_model=1)
+
+    tr_a = Trainer(_cfg(tmp_path), mesh=mesh, use_tensorboard=False, seed=5)
+    try:
+        tr_a.fit()
+        ref_leaves = _state_leaves(tr_a)
+    finally:
+        tr_a.train_loader.close()
+
+    c2 = _cfg(tmp_path, out="out2")
+    tr_b = Trainer(c2, mesh=mesh, use_tensorboard=False, seed=5)
+    try:
+        orig = _crash_after(tr_b, 4)  # die at step 5; state = end of epoch 0
+        with pytest.raises(RuntimeError, match="boom"):
+            tr_b.fit()
+        # the crash left the loader LIVE and consumed past the resume point
+        assert tr_b.train_loader._started
+        tr_b.train_step = orig
+        path = os.path.join(c2.data.output_dir, "ckpts", "last")
+        # resume on the SAME object: must close+seek(4), not continue from
+        # the live stream position (~6 batches already produced)
+        tr_b.fit(resume=path)
+        res_leaves = _state_leaves(tr_b)
+    finally:
+        tr_b.train_loader.close()
+    for a, c in zip(ref_leaves, res_leaves):
+        np.testing.assert_array_equal(a, c)
+
+
+def test_loader_close_seek_reiterate_stream_integrity(tmp_path):
+    """close() mid-stream then seek()+re-iterate: the restarted stream must
+    be exactly the batches a continuous run yields from the seek position —
+    no stale batch from the old producer (ADVICE r2 low: close now joins
+    the producer and each producer generation owns its queue/stop)."""
+    from vision_kit_tpu.data.datasets import YOLODataset
+    from vision_kit_tpu.data.loader import TrainLoader
+
+    _write_split(tmp_path, "train", 8)
+    ds = YOLODataset(str(tmp_path / "train"), img_size=(64, 64))
+
+    ref_loader = TrainLoader(ds, 2, img_size=(64, 64), aug_cfg=dict(AUG),
+                             seed=7, prefetch=3)
+    try:
+        it = iter(ref_loader)
+        ref = [next(it) for _ in range(8)]
+    finally:
+        ref_loader.close()
+
+    lo = TrainLoader(ds, 2, img_size=(64, 64), aug_cfg=dict(AUG),
+                     seed=7, prefetch=3)
+    try:
+        it = iter(lo)
+        for k in range(2):
+            got = next(it)
+            np.testing.assert_array_equal(got["image"], ref[k]["image"])
+        # close with several batches buffered/in-flight, jump elsewhere
+        lo.close()
+        lo.seek(6)
+        it = iter(lo)
+        for k in (6, 7):
+            got = next(it)
+            np.testing.assert_array_equal(got["image"], ref[k]["image"])
+            np.testing.assert_array_equal(got["targets"], ref[k]["targets"])
+        assert lo._thread is not None
+    finally:
+        lo.close()
+        assert not lo._thread.is_alive()

@@ -184,7 +184,7 @@ class TrainLoader:
         )
         self._queue: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread: threading.Thread | None = None  # created per __iter__
         self._started = False
         self._procs: list = []
         self._mp_queues: list = []
@@ -213,19 +213,22 @@ class TrainLoader:
             self.max_labels, self.seed, batch_id,
         )
 
-    def _worker(self):
+    def _worker(self, out_q: queue.Queue, stop: threading.Event, bid: int):
+        """Producer loop. `out_q`/`stop` are captured per thread (NOT read
+        from self): after close() + re-iterate, a previous producer that is
+        still finishing a decode keeps talking to its own dead queue/event
+        and can never leak a stale-bid batch into the restarted stream."""
         import traceback
 
-        bid = self._next_bid
-        while not self._stop.is_set():
+        while not stop.is_set():
             try:
                 batch = self._make_batch(bid)
             except Exception:
                 batch = ("__error__", traceback.format_exc())
             bid += 1
-            while not self._stop.is_set():
+            while not stop.is_set():
                 try:
-                    self._queue.put(batch, timeout=0.5)
+                    out_q.put(batch, timeout=0.5)
                     break
                 except queue.Full:
                     continue
@@ -291,12 +294,18 @@ class TrainLoader:
                 yield batch
         else:
             if not self._started:
-                self._stop.clear()
-                # fresh queue: leftover buffered batches from a closed
-                # producer would duplicate the restarted producer's bids
+                # fresh queue + stop event per producer generation: leftover
+                # buffered batches from a closed producer would duplicate the
+                # restarted producer's bids, and the old thread keeps its own
+                # (set) event so it can't be revived by this clear
+                if self._thread is not None and self._thread.is_alive():
+                    self._thread.join(timeout=60.0)
+                self._stop = threading.Event()
                 self._queue = queue.Queue(maxsize=self.prefetch)
                 self._thread = threading.Thread(
-                    target=self._worker, daemon=True
+                    target=self._worker,
+                    args=(self._queue, self._stop, self._next_bid),
+                    daemon=True,
                 )
                 self._thread.start()
                 self._started = True
@@ -314,6 +323,12 @@ class TrainLoader:
     def close(self):
         self._stop.set()
         self._started = False
+        # join the producer so a subsequent seek()+re-iterate can't race a
+        # thread still inside _make_batch (it would corrupt the shared
+        # _IndexStream epoch cache); the per-thread queue/event capture in
+        # _worker makes even a join timeout harmless to the batch stream
+        if self._thread is not None and self._thread.is_alive():
+            self._thread.join(timeout=60.0)
         for p in self._procs:
             p.terminate()
         self._procs.clear()

@@ -184,7 +184,15 @@ class Trainer:
         self.ckpt_interval = int(getattr(cfg.data, "ckpt_interval", 1) or 1)
         self.best_map50 = -1.0
         self.epochs_no_improve = 0
-        self.patience = 5
+        # early-stop patience (reference EarlyStopping(patience=5),
+        # training_helpers.py:91-95); optional cfg override testing.patience
+        self.patience = int(getattr(cfg.testing, "patience", 5) or 5)
+        # completed train steps reflected in self.state — the exact-position
+        # resume cursor (persisted in checkpoint meta)
+        self.global_step = 0
+        # True while a validation's side effects (best ckpt, patience) are
+        # in flight; persisted so a crash inside validate() re-runs it
+        self._val_pending = False
 
         self.tb = None
         if use_tensorboard:
@@ -373,8 +381,10 @@ class Trainer:
         if blocking:
             self._ckptr.wait_until_finished()
         with open(path + ".meta.json", "w") as f:
-            json.dump({"epoch": epoch, "best_map50": self.best_map50,
-                       "epochs_no_improve": self.epochs_no_improve}, f)
+            json.dump({"epoch": epoch, "step": self.global_step,
+                       "best_map50": self.best_map50,
+                       "epochs_no_improve": self.epochs_no_improve,
+                       "val_pending": self._val_pending}, f)
 
     @staticmethod
     def _save_args(state):
@@ -395,30 +405,44 @@ class Trainer:
             replicated_sharding(self.mesh),
         )
         meta_path = path + ".meta.json"
-        epoch = 0
+        step = 0
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
-            epoch = int(meta.get("epoch", 0))
             self.best_map50 = float(meta.get("best_map50", -1.0))
             # early-stopping patience survives resume (an uninterrupted run
             # would still be counting)
             self.epochs_no_improve = int(meta.get("epochs_no_improve", 0))
-        return epoch
+            step = meta.get("step")
+            if step is None:  # pre-step-meta checkpoint: epoch granularity
+                step = (int(meta.get("epoch", -1)) + 1) * self.steps_per_epoch
+            step = int(step)
+            self._val_pending = bool(meta.get("val_pending", False))
+        self.global_step = step
+        return step
 
     # -- loops ------------------------------------------------------------
     def fit(self, resume: str | None = None):
         """Training loop. On any exception the current state is saved as the
         `last` checkpoint and the best weights re-exported before re-raising
-        (reference ModelCkpt.on_exception, training_helpers.py:40-55)."""
+        (reference ModelCkpt.on_exception, training_helpers.py:40-55).
+
+        The crash-save records `global_step` — the number of train steps
+        reflected in the saved state — so `fit(resume=...)` continues the
+        data stream, LR schedule, optimizer/EMA state at the EXACT step,
+        even mid-epoch. A crash inside validate() additionally marks the
+        validation pending; resume re-runs it (same weights, deterministic
+        eval) before training continues, so best-checkpoint/patience side
+        effects are reproduced too."""
         try:
             self._fit(resume)
         except BaseException:
             try:
-                # record the last COMPLETED epoch so resume (+1) re-runs the
-                # interrupted one instead of skipping it
+                # epoch field is informational (last COMPLETED epoch); the
+                # resume cursor is meta["step"]
                 self.save_checkpoint(
-                    "last", getattr(self, "_cur_epoch", 0) - 1, blocking=True
+                    "last", self.global_step // self.steps_per_epoch - 1,
+                    blocking=True,
                 )
                 if self.best_map50 > 0:
                     self._export_best_weights(self.best_map50)
@@ -430,50 +454,68 @@ class Trainer:
     def _fit(self, resume: str | None = None):
         from vision_kit_tpu.train.optim import lr_schedules
 
-        start_epoch = 0
+        start_step = 0
         if resume:
-            start_epoch = self.load_checkpoint(resume) + 1
-            logger.info("resumed from %s at epoch %d", resume, start_epoch)
+            start_step = self.load_checkpoint(resume)
+            logger.info(
+                "resumed from %s at step %d (epoch %d)", resume, start_step,
+                start_step // self.steps_per_epoch,
+            )
             # Continue the exact data stream an uninterrupted run would see:
-            # batches are deterministic per batch id and an uninterrupted run
-            # has consumed steps_per_epoch ids per completed epoch. Without
-            # this the resumed epochs would replay the stream from batch 0.
-            try:
-                self.train_loader.seek(start_epoch * self.steps_per_epoch)
-            except RuntimeError as e:  # loader already iterating (re-fit on
-                logger.warning("resume seek skipped: %s", e)  # a live object)
+            # batches are deterministic per batch id and the checkpointed
+            # state has consumed exactly `start_step` of them. close() makes
+            # the loader idle so seek is valid even on a re-fit Trainer —
+            # silently training from the wrong stream position would defeat
+            # the exact-position contract.
+            self.train_loader.close()
+            self.train_loader.seek(start_step)
+        self.global_step = start_step
+        start_epoch = start_step // self.steps_per_epoch
 
         lr_weight, _, _ = lr_schedules(
             dict(self.cfg.hypermeters), self.max_epochs, self.steps_per_epoch,
             cosine=self.cfg.model.name == "YOLOv7",
         )
         it = iter(self.train_loader)
-        first_batch_saved = False
+
+        # a crash inside validate() left its side effects (best ckpt,
+        # patience counter) unapplied — replay the interrupted epoch tail
+        if (resume and self._val_pending and start_step
+                and start_step % self.steps_per_epoch == 0):
+            logger.info("resume: re-running the interrupted validation")
+            self._cur_epoch = start_epoch - 1
+            if self._epoch_tail(start_epoch - 1):
+                self._finish_fit()
+                return
+
         for epoch in range(start_epoch, self.max_epochs):
             self._cur_epoch = epoch
             t0 = time.time()
-            losses = []
-            for step in range(self.steps_per_epoch):
+            first = max(start_step - epoch * self.steps_per_epoch, 0)
+            losses = None
+            for step in range(first, self.steps_per_epoch):
                 batch = next(it)
-                if not first_batch_saved:
-                    self._save_grid(batch, "train")
-                    first_batch_saved = True
+                if step == first:
+                    # batch-0 sample grid EVERY epoch (reference
+                    # det_trainer.py:47-49)
+                    self._save_grid(batch, "train", step=epoch)
                 sharded = shard_batch(self.mesh, batch)
                 step_fn = self._train_step_for(
                     epoch * self.steps_per_epoch + step
                 )
-                self.state, metrics = step_fn(self.state, sharded)
-                losses.append(metrics)
+                self.state, losses = step_fn(self.state, sharded)
+                self.global_step += 1
             # one sync per epoch
-            losses = jax.device_get(losses[-1])
+            losses = jax.device_get(losses)
             dt = time.time() - t0
+            n_steps = self.steps_per_epoch - first
             logger.info(
                 "epoch %d/%d loss %.4f (box %.4f obj %.4f cls %.4f) "
                 "%.1fs %.1f img/s",
                 epoch + 1, self.max_epochs, float(losses["loss"]),
                 float(losses["loss_box"]), float(losses["loss_obj"]),
                 float(losses["loss_cls"]), dt,
-                self.steps_per_epoch * self.batch_size / dt,
+                n_steps * self.batch_size / dt,
             )
             self._log_scalar("loss", float(losses["loss"]), epoch)
             # loss components each epoch (box/obj/cls)
@@ -486,34 +528,51 @@ class Trainer:
                 "lr", float(lr_weight((epoch + 1) * self.steps_per_epoch)),
                 epoch,
             )
-
-            if (epoch + 1) % self.val_interval == 0:
-                result = self.validate()
-                map50 = result["map50"]
-                logger.info(
-                    "epoch %d mAP@.5 %.4f mAP@.5:.95 %.4f",
-                    epoch + 1, map50, result["map50_95"],
-                )
-                if result["per_class"]:
-                    logger.info("\n%s", self._per_class_table(result))
-                self._log_scalar("mAP@.5", map50, epoch)
-                self._log_scalar("mAP@.5:.95", result["map50_95"], epoch)
-                if map50 > self.best_map50:
-                    self.best_map50 = map50
-                    self.epochs_no_improve = 0
-                    self.save_checkpoint("best", epoch)
-                    self._export_best_weights(map50)
-                else:
-                    self.epochs_no_improve += 1
-            if ((epoch + 1) % self.ckpt_interval == 0
-                    or epoch + 1 == self.max_epochs):
-                self.save_checkpoint("last", epoch)
-            if self.epochs_no_improve >= self.patience:
-                logger.info(
-                    "early stopping: no mAP@.5 improvement in %d validations",
-                    self.patience,
-                )
+            if self._epoch_tail(epoch):
                 break
+        self._finish_fit()
+
+    def _epoch_tail(self, epoch: int) -> bool:
+        """Per-epoch validation + checkpointing; True => early-stop."""
+        if (epoch + 1) % self.val_interval == 0:
+            self._val_pending = True
+            self._run_validation(epoch)
+        if ((epoch + 1) % self.ckpt_interval == 0
+                or epoch + 1 == self.max_epochs):
+            self.save_checkpoint("last", epoch)
+        if self.epochs_no_improve >= self.patience:
+            logger.info(
+                "early stopping: no mAP@.5 improvement in %d validations",
+                self.patience,
+            )
+            return True
+        return False
+
+    def _run_validation(self, epoch: int):
+        result = self.validate()
+        map50 = result["map50"]
+        logger.info(
+            "epoch %d mAP@.5 %.4f mAP@.5:.95 %.4f",
+            epoch + 1, map50, result["map50_95"],
+        )
+        if result["per_class"]:
+            logger.info("\n%s", self._per_class_table(result))
+        self._log_scalar("mAP@.5", map50, epoch)
+        self._log_scalar("mAP@.5:.95", result["map50_95"], epoch)
+        improved = map50 > self.best_map50
+        if improved:
+            self.best_map50 = map50
+            self.epochs_no_improve = 0
+        else:
+            self.epochs_no_improve += 1
+        # counters are final for this epoch: checkpoints written from here
+        # on resume without re-running this validation
+        self._val_pending = False
+        if improved:
+            self.save_checkpoint("best", epoch)
+            self._export_best_weights(map50)
+
+    def _finish_fit(self):
         self._ckptr.wait_until_finished()
         self.train_loader.close()
 
