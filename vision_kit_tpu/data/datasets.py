@@ -530,7 +530,14 @@ class YOLODataset(_ImageCacheMixin):
 class COCODataset(_ImageCacheMixin):
     """COCO-json dataset (reference data/datasets/coco.py:19-237), parsed
     with stdlib json. Annotations are cleaned (x2>x1, y2>y1, area>0) and
-    pre-scaled to the load-time resize like the reference (:161-162)."""
+    pre-scaled to the load-time resize like the reference (:161-162).
+
+    `filter_classes` matches the reference's semantics (coco.py:127-130,
+    171-172): values are the CONTIGUOUS remapped class indices (the position
+    of the category in the json's sorted category-id list — i.e. the indices
+    `data.class_labels` is written in), NOT raw COCO category ids. Labels of
+    other classes are dropped; images keep their slot (possibly label-free).
+    """
 
     def __init__(
         self,

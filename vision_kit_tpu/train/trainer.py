@@ -310,6 +310,7 @@ class Trainer:
             train_ds = COCODataset(
                 cfg.data.data_dir, json_file="instances_train2017.json",
                 name=cfg.data.train_path, img_size=self.img_size,
+                filter_classes=list(cfg.data.filter_classes or []),
                 cache_images=cache_images,
                 fast_decode=fast_decode,
             )
@@ -354,7 +355,9 @@ class Trainer:
                 break
         return COCODataset(
             cfg.data.data_dir, json_file=json_file, name=split_path,
-            img_size=self.img_size, cache_images=cache_images,
+            img_size=self.img_size,
+            filter_classes=list(cfg.data.filter_classes or []),
+            cache_images=cache_images,
             fast_decode=fast_decode,
         )
 
