@@ -8,73 +8,18 @@ dataset, seed=0 trainer, single-process loader. ~6 min on the 1-core CPU
 host — marked slow; every other suite is parity/protocol-level and none
 would catch a sign-flipped loss term or a broken optimizer wiring that
 still produces finite losses.
+
+Round 3: the training run moved into the session-scoped `trained_v5n`
+fixture (tests/conftest.py) so the same trained weights also feed the
+trained-weights parity differential and the eval/serving exactness
+regressions (tests/test_trained_parity.py) without a second 6-min train.
 """
 
-import os
-
-import cv2
-import numpy as np
 import pytest
-import yaml
-
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _build(root):
-    rng = np.random.default_rng(3)
-    for split in ("train", "val"):
-        os.makedirs(f"{root}/images/{split}", exist_ok=True)
-        os.makedirs(f"{root}/labels/{split}", exist_ok=True)
-    for i in range(8):
-        img = np.full((64, 64, 3), 60, np.uint8)
-        w, h = int(rng.integers(20, 36)), int(rng.integers(20, 36))
-        x, y = int(rng.integers(0, 63 - w)), int(rng.integers(0, 63 - h))
-        c = i % 2
-        color = (0, 0, 255) if c == 0 else (0, 255, 0)
-        cv2.rectangle(img, (x, y), (x + w, y + h), color, -1)
-        line = (f"{c} {(x + w / 2) / 64:.6f} {(y + h / 2) / 64:.6f} "
-                f"{w / 64:.6f} {h / 64:.6f}")
-        for split in ("train", "val"):
-            cv2.imwrite(f"{root}/images/{split}/im{i}.jpg", img)
-            with open(f"{root}/labels/{split}/im{i}.txt", "w") as f:
-                f.write(line)
 
 
 @pytest.mark.slow
-def test_overfit_rectangles(tmp_path):
-    from vision_kit_tpu.train.evaluator import DetEvaluator
-    from vision_kit_tpu.train.trainer import Trainer
-    from vision_kit_tpu.utils.config import load_config
-    from vision_kit_tpu.utils.general import update_loss_cfg
-
-    ds = str(tmp_path / "ds")
-    out = str(tmp_path / "out")
-    _build(ds)
-    cfg = yaml.safe_load(open(os.path.join(REPO, "configs/yolov5.yaml")))
-    cfg["model"].update(version="n", num_classes=2, input_size=[64, 64],
-                        weight="")
-    cfg["data"].update(
-        data_format="yolo", data_dir=ds, output_dir=out,
-        train_path="images/train", val_path="images/val",
-        test_path="images/val", batch_size=8, max_epochs=300,
-        num_workers=0, class_labels=["red", "green"],
-    )
-    # no augmentation: pure optimization signal (1 step/epoch, the first
-    # 100 steps are lr/momentum warmup — see train/optim.py)
-    cfg["testing"]["val_interval"] = 1000  # final validate() only
-    cfg["augmentations"].update(
-        mosaic_prob=0.0, mixup_prob=0.0, hsv_prob=0.0, flip_lr_prob=0.0,
-        translate=0.0, scale=0.0, enable_mosaic=False, enable_mixup=False,
-    )
-    path = str(tmp_path / "cfg.yaml")
-    yaml.safe_dump(cfg, open(path, "w"))
-    c = update_loss_cfg(load_config(path))
-    os.makedirs(out, exist_ok=True)
-    c.data.output_dir = out
-
-    ev = DetEvaluator(class_labels=["red", "green"], img_size=(64, 64))
-    tr = Trainer(c, evaluator=ev, use_tensorboard=False, seed=0)
-    tr.fit()
-    res = tr.validate()
+def test_overfit_rectangles(trained_v5n):
+    res = trained_v5n["result"]
     assert res["map50"] >= 0.8, res
     assert res["mr"] >= 0.9, res  # every rectangle found

@@ -114,7 +114,8 @@ class YOLOV7(nn.Module):
         return (8.0, 16.0, 32.0)
 
 
-def build_model(cfg, export: bool = False, dtype=jnp.float32):
+def build_model(cfg, export: bool = False, dtype=jnp.float32,
+                decode_order: str = "native"):
     """Dispatch on cfg.model.name, mirroring reference
     architectures/__init__.py:7-26."""
     name = cfg.model.name
@@ -124,6 +125,7 @@ def build_model(cfg, export: bool = False, dtype=jnp.float32):
             act=cfg.model.act,
             num_classes=cfg.model.num_classes,
             export=export,
+            decode_order=decode_order,
             dtype=dtype,
         )
     if name == "YOLOv7":
@@ -133,6 +135,7 @@ def build_model(cfg, export: bool = False, dtype=jnp.float32):
             num_classes=cfg.model.num_classes,
             deploy=bool(cfg.model.deploy),
             export=export,
+            decode_order=decode_order,
             dtype=dtype,
         )
     raise NotImplementedError(f"Unknown model {name!r}")
