@@ -27,11 +27,13 @@ import jax.numpy as jnp
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _cfg(tmp_path, name="YOLOv5", version="n", size=64):
+def _cfg(tmp_path, name="YOLOv5", version="n", size=64, deploy=False):
     base = yaml.safe_load(open(os.path.join(
         REPO, "configs", f"{name.lower()}.yaml")))
     base["model"].update(version=version, num_classes=3,
                          input_size=[size, size], weight="")
+    if deploy:
+        base["model"]["deploy"] = True
     base["data"].update(output_dir=str(tmp_path / "out"),
                         class_labels=["a", "b", "c"])
     path = str(tmp_path / "cfg.yaml")
@@ -121,19 +123,42 @@ def test_run_export_check_catches_corruption(tmp_path, reference):
         interop.build_torch_model = orig
 
 
-def test_onnx_proto_wellformed(tmp_path, reference):
+@pytest.mark.parametrize("family", ["v5", "v7"])
+def test_onnx_proto_wellformed(tmp_path, reference, family):
     """interop.export_onnx alone (no TF import): proto written, magic ok,
-    io names present, verify_onnx_file passes."""
+    io names present, verify_onnx_file passes — both families (v7 in deploy
+    mode, the shape the reference exports), with the converted torch
+    forward numerically pinned against the jit forward first."""
+    from vision_kit_tpu.export import TORCH_ATOL
     from vision_kit_tpu.interop import (
         build_torch_model,
         export_onnx,
         verify_onnx_file,
     )
+    from vision_kit_tpu.models import build_model
 
-    cfg = _cfg(tmp_path)
+    if family == "v7":
+        # "base" — the reference's v7-tiny is dead (pafpn_elan.py:17 accepts
+        # it, :31 KeyErrors on the base/x-only cfg dict; no tiny head cfg)
+        cfg = _cfg(tmp_path, name="YOLOv7", version="base", deploy=True)
+    else:
+        cfg = _cfg(tmp_path)
     variables = _init_variables(cfg)
     tm = build_torch_model(cfg, variables)
     assert tm is not None
+
+    import torch
+
+    probe = np.random.default_rng(7).random((1, 64, 64, 3), np.float32)
+    ref_order = build_model(cfg, export=True, decode_order="reference")
+    jax_dec = np.asarray(jax.jit(
+        lambda x: ref_order.apply(variables, x, training=False)[0]
+    )(jnp.asarray(probe)))
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(probe.transpose(0, 3, 1, 2)))
+    t_dec = (t_out[0] if isinstance(t_out, (tuple, list)) else t_out).numpy()
+    assert float(np.abs(t_dec - jax_dec).max()) <= TORCH_ATOL
+
     path = str(tmp_path / "m.onnx")
     export_onnx(tm, (64, 64), path)
     verify_onnx_file(path)

@@ -49,16 +49,21 @@ def _flops(compiled) -> float:
     return float(ca["flops"])
 
 
-def infer_flops_per_image(batch: int) -> float:
+def infer_flops_per_image(batch: int, family: str = "v5") -> float:
     """FLOPs/img of bench.py's streamed step (stream_bench.run_detector_bench
-    protocol, minus the scan wrapper — flops scale linearly in batch)."""
+    protocol, minus the scan wrapper — flops scale linearly in batch).
+    family="v7" uses the tools/bench_v7.py program (v7-base, deploy-fused)."""
     import jax
     import jax.numpy as jnp
 
-    from vision_kit_tpu.models import YOLOV5
+    from vision_kit_tpu.models import YOLOV5, YOLOV7
     from vision_kit_tpu.ops.nms import postprocess_raw
 
-    model = YOLOV5(variant="s", num_classes=80, dtype=jnp.bfloat16)
+    if family == "v7":
+        model = YOLOV7(variant="base", num_classes=80, deploy=True,
+                       dtype=jnp.bfloat16)
+    else:
+        model = YOLOV5(variant="s", num_classes=80, dtype=jnp.bfloat16)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 640, 640, 3)), training=False
     )
@@ -126,6 +131,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8,
                     help="batch for the analytic lowering (flops scale "
                          "linearly; small = fast CPU compile)")
+    ap.add_argument("--v7-ips", type=float, default=None,
+                    help="also compute v7-base inference MFU at this "
+                         "measured img/s (tools/bench_v7.py)")
     args = ap.parse_args()
 
     _deregister_axon()
@@ -135,6 +143,10 @@ def main():
     rows.append(("inference (bench.py b128 protocol)", fi, args.infer_ips))
     ft = train_flops_per_image(args.batch)
     rows.append(("train step (b64 protocol)", ft, args.train_ips))
+    if args.v7_ips:
+        f7 = infer_flops_per_image(args.batch, family="v7")
+        rows.append(("v7-base inference (bench_v7.py b64 protocol)", f7,
+                     args.v7_ips))
 
     out = {}
     for name, fpi, ips in rows:

@@ -179,6 +179,22 @@ def build_torch_model(cfg, variables, root: str | None = None):
         model = TorchV7(variant=cfg.model.version, act=cfg.model.act,
                         num_classes=cfg.model.num_classes,
                         deploy=bool(cfg.model.deploy))
+        if cfg.model.deploy:
+            # the original package's deploy flag reaches only the head
+            # (yolov7.py:28-30 — PAFPNELAN takes no deploy), so its neck
+            # RepConvs stay in training shape and cannot receive a
+            # deploy-folded tree (convert.fuse_repconv_params). Swap them
+            # for deploy-constructed RepConvs (blocks.py:288-294), the
+            # fused form its own fuse_repvgg_block is supposed to reach.
+            from vision_kit.models.modules.blocks import RepConv
+
+            for attr in ("pan_conv0", "pan_conv1", "pan_conv2"):
+                old = getattr(model.neck, attr, None)
+                if old is not None and isinstance(old, RepConv):
+                    outs, ins = old.rbr_dense.conv.weight.shape[:2]
+                    setattr(model.neck, attr,
+                            RepConv(ins, outs, act=cfg.model.act,
+                                    deploy=True))
     else:
         raise NotImplementedError(name)
     reset_reference_defaults()
