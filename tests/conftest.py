@@ -18,7 +18,6 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -51,97 +50,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 REFERENCE_ROOT = "/root/reference"
 
 
-def reset_reference_defaults():
-    """Reference bug workaround: PAFPN mutates its mutable-default in_chs
-    list in place (pafpn.py:23-24), so constructing a second reference model
-    in one process gets corrupted channel widths. Restore the default."""
-    try:
-        import vision_kit.models.necks.pafpn as ref_pafpn
-    except Exception:
-        return
-    for d in ref_pafpn.PAFPN.__init__.__defaults__ or ():
-        if isinstance(d, list) and len(d) == 3:
-            d[:] = [256, 512, 1024]
-
-
-def _install_omegaconf_stub():
-    """The reference imports omegaconf/pycocotools (not installed); stub just
-    enough to import its model modules for golden-value parity tests."""
-    if "omegaconf" not in sys.modules:
-        omegaconf = types.ModuleType("omegaconf")
-        dictconfig = types.ModuleType("omegaconf.dictconfig")
-
-        class DictConfig(dict):
-            pass
-
-        dictconfig.DictConfig = DictConfig
-        omegaconf.dictconfig = dictconfig
-        omegaconf.DictConfig = DictConfig
-        sys.modules["omegaconf"] = omegaconf
-        sys.modules["omegaconf.dictconfig"] = dictconfig
-
-    if "torchvision" not in sys.modules:
-        torchvision = types.ModuleType("torchvision")
-        tv_ops = types.ModuleType("torchvision.ops")
-
-        def _torch_nms(boxes, scores, iou_threshold):
-            """Exact torchvision.ops.nms semantics (greedy by score,
-            suppress IoU > threshold, kept indices in score order) so the
-            reference's full NMS path runs for pipeline-parity tests."""
-            import torch
-
-            order = torch.argsort(scores, descending=True, stable=True)
-            suppressed = torch.zeros(len(scores), dtype=torch.bool)
-            keep = []
-            areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
-            for i in order.tolist():
-                if suppressed[i]:
-                    continue
-                keep.append(i)
-                lt = torch.max(boxes[i, :2], boxes[:, :2])
-                rb = torch.min(boxes[i, 2:], boxes[:, 2:])
-                wh = (rb - lt).clamp(min=0)
-                inter = wh[:, 0] * wh[:, 1]
-                iou = inter / (areas[i] + areas - inter)
-                suppressed |= iou > iou_threshold
-            return torch.as_tensor(keep, dtype=torch.long)
-
-        tv_ops.nms = _torch_nms
-        # box_iou is assigned the real implementation below
-        tv_boxes = types.ModuleType("torchvision.ops.boxes")
-
-        def _torch_box_iou(a, b):
-            """Minimal torch pairwise IoU for reference golden paths."""
-            import torch
-
-            lt = torch.max(a[:, None, :2], b[None, :, :2])
-            rb = torch.min(a[:, None, 2:], b[None, :, 2:])
-            wh = (rb - lt).clamp(min=0)
-            inter = wh[..., 0] * wh[..., 1]
-            area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
-            area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
-            return inter / (area_a[:, None] + area_b[None, :] - inter)
-
-        tv_boxes.box_iou = _torch_box_iou
-        tv_ops.box_iou = _torch_box_iou
-        tv_ops.boxes = tv_boxes
-        torchvision.ops = tv_ops
-        sys.modules["torchvision"] = torchvision
-        sys.modules["torchvision.ops"] = tv_ops
-        sys.modules["torchvision.ops.boxes"] = tv_boxes
-
-    if "pycocotools" not in sys.modules:
-        pycocotools = types.ModuleType("pycocotools")
-        coco_mod = types.ModuleType("pycocotools.coco")
-
-        class COCO:  # placeholder; parity tests never touch COCO data
-            def __init__(self, *a, **k):
-                raise RuntimeError("pycocotools stub")
-
-        coco_mod.COCO = COCO
-        pycocotools.coco = coco_mod
-        sys.modules["pycocotools"] = pycocotools
-        sys.modules["pycocotools.coco"] = coco_mod
+# Single home for the reference-package interop shims (stubs for its absent
+# third-party imports, PAFPN mutable-default workaround): the library's own
+# torch-interop module — tests and export share ONE implementation.
+from vision_kit_tpu.interop import (  # noqa: E402
+    install_torch_ecosystem_stubs as _install_omegaconf_stub,
+    reset_reference_defaults,
+)
 
 
 @pytest.fixture(scope="session")

@@ -299,13 +299,18 @@ class _ImageCacheMixin:
                 rows = np.asarray(rows, np.int64)
                 if not (meta[rows, 0] > 0).all():
                     continue  # needed rows not built yet
+                # everything validated INCLUDING the .dat itself (a user may
+                # delete the big file and leave the sidecars) before any
+                # self mutation — a bad candidate is skipped, not fatal
+                shape = (len(sc["entries"]), maxh, maxw, 3)
+                mm = np.memmap(dat, np.uint8, "r", shape=shape)
             except Exception:
                 continue
             self._mm_path = dat
-            self._mm_shape = (len(sc["entries"]), maxh, maxw, 3)
+            self._mm_shape = shape
             self._mm_rows = rows
             self._mm_meta = meta[rows]
-            self._mm = np.memmap(dat, np.uint8, "r", shape=self._mm_shape)
+            self._mm = mm
             logger.info("sharing disk image cache %s (%d/%d rows)", dat,
                         len(rows), len(sc["entries"]))
             return dat

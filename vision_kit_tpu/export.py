@@ -92,14 +92,13 @@ def run_export(cfg, variables, save_dir: str, onnx: str | bool = "auto",
     ref_out = np.asarray(jax.jit(forward)(jnp.asarray(probe)))
 
     # --- TF SavedModel (jax2tf native serialization) --------------------
+    # the whole leg degrades gracefully: a missing OR version-skewed
+    # tensorflow must not abort the export (the ONNX leg below is
+    # independent). A failed numeric CHECK, however, is a real error.
     try:
         import tensorflow as _tf
         from jax.experimental import jax2tf
-    except Exception as e:  # tensorflow not installed
-        res.skipped["savedmodel"] = f"tensorflow unavailable: {e}"
-        logger.warning("TF SavedModel export skipped: %s", e)
-        _tf = None
-    if _tf is not None:
+
         tf_fn = jax2tf.convert(
             forward, with_gradient=False,
             native_serialization_platforms=("cpu", "tpu"),
@@ -111,10 +110,14 @@ def run_export(cfg, variables, save_dir: str, onnx: str | bool = "auto",
         )
         sm_dir = os.path.join(save_dir, stem + "_savedmodel")
         _tf.saved_model.save(module, sm_dir)
-        res.artifacts["savedmodel"] = sm_dir
         # numeric check: reload from disk and replay the probe
         reloaded = _tf.saved_model.load(sm_dir)
         sm_out = reloaded.f(_tf.constant(probe)).numpy()
+    except Exception as e:  # tensorflow unavailable or jax2tf/TF skew
+        res.skipped["savedmodel"] = f"tensorflow/jax2tf leg failed: {e}"
+        logger.warning("TF SavedModel export skipped: %s", e)
+    else:
+        res.artifacts["savedmodel"] = sm_dir
         delta = float(np.abs(sm_out - ref_out).max())
         res.checks["savedmodel"] = delta
         logger.info("SavedModel check: max |delta| = %.3e", delta)

@@ -140,17 +140,23 @@ def import_vision_kit_torch(root: str | None = None):
     roots = [r for r in (root, os.environ.get("VISION_KIT_TORCH_ROOT"))
              if r] + list(_DEFAULT_ROOTS)
     for r in roots:
-        if os.path.isdir(os.path.join(r, "vision_kit")):
-            if r not in sys.path:
-                sys.path.insert(0, r)
-            try:
-                import vision_kit  # noqa: F401
+        if not os.path.isdir(os.path.join(r, "vision_kit")):
+            continue
+        added = r not in sys.path
+        if added:
+            sys.path.insert(0, r)
+        try:
+            import vision_kit  # noqa: F401
 
-                return vision_kit
-            except Exception as e:
-                logger.warning("vision_kit torch package at %s failed to "
-                               "import: %s", r, e)
-                return None
+            return vision_kit
+        except Exception as e:
+            # a stale/broken checkout must not shadow a later working root,
+            # nor leave itself on sys.path
+            logger.warning("vision_kit torch package at %s failed to "
+                           "import: %s", r, e)
+            if added and r in sys.path:
+                sys.path.remove(r)
+            sys.modules.pop("vision_kit", None)
     return None
 
 
@@ -229,6 +235,13 @@ def export_onnx(torch_model, img_size, path: str, opset: int = 13) -> str:
     """torch.onnx.export with the reference's interchange contract
     (scripts/main.py:83-97): opset 13, input "images" (dynamic batch/h/w),
     output "output" (dynamic batch/anchors).
+
+    Caveat, inherited from the reference's own export (it traces the same
+    torch heads): the TorchScript trace bakes the decode GRIDS as constants
+    at the export size, so of the declared dynamic axes only BATCH is
+    actually safe to vary at inference; feeding a different H/W misaligns
+    the baked grids. The numeric export check (export.py) covers the
+    export-size input. Re-export per input size for other resolutions.
 
     Runs the TorchScript exporter. When the `onnx` python package is absent,
     its final `_add_onnxscript_fn` post-pass (which merely scans the
