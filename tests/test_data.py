@@ -472,6 +472,41 @@ def test_disk_cache_build_is_restartable(tmp_path, monkeypatch):
         assert hw0_a == hw0_b
 
 
+def test_disk_cache_truncated_dat_rebuilds(tmp_path, monkeypatch):
+    """A corrupt/truncated .dat whose meta survived (partial copy, fs
+    damage) must trigger a rebuild with a warning, not crash dataset
+    construction — both the complete-reuse and the mid-build-resume
+    paths (round-3 review finding)."""
+    import glob as _glob
+
+    from vision_kit_tpu.data.datasets import YOLODataset
+
+    _mk_rect_set(tmp_path, n=4)
+    plain = YOLODataset(str(tmp_path), img_size=96)
+    # copies, NOT memmap views — the truncation below invalidates mappings
+    expect = {i: np.array(plain.pull_item(i)[0]) for i in range(4)}
+    YOLODataset(str(tmp_path), img_size=96, cache_images="disk")
+    dat = _glob.glob(str(tmp_path / ".vk_imgcache_*.dat"))[0]
+
+    # complete meta + truncated pixels -> reuse path must fall back to build
+    with open(dat, "r+b") as f:
+        f.truncate(1024)
+    ds = YOLODataset(str(tmp_path), img_size=96, cache_images="disk")
+    for i in range(4):
+        np.testing.assert_array_equal(expect[i], ds.pull_item(i)[0])
+
+    # partial meta + truncated pixels -> resume path must restart the build
+    meta_path = dat + ".meta.npy"
+    meta = np.load(meta_path)
+    meta[2:] = 0
+    np.save(meta_path, meta)
+    with open(dat, "r+b") as f:
+        f.truncate(1024)
+    ds2 = YOLODataset(str(tmp_path), img_size=96, cache_images="disk")
+    for i in range(4):
+        np.testing.assert_array_equal(expect[i], ds2.pull_item(i)[0])
+
+
 def test_disk_cache_shared_across_subset_split(tmp_path, monkeypatch):
     """A dataset whose file list is a subset of an already-built cache
     (same size/decode mode) adopts that cache read-only via a row map —

@@ -123,6 +123,92 @@ def test_run_export_check_catches_corruption(tmp_path, reference):
         interop.build_torch_model = orig
 
 
+@pytest.mark.slow
+def test_savedmodel_unloadable_artifact_removed(tmp_path, monkeypatch):
+    """An artifact that saved but whose reload/replay check could not run
+    must not survive on disk: a deploy script globbing save_dir would
+    otherwise ship a SavedModel nothing ever compared against the jit
+    forward (round-3 review finding)."""
+    import tensorflow as tf
+
+    from vision_kit_tpu.export import run_export
+
+    cfg = _cfg(tmp_path)
+    variables = _init_variables(cfg)
+
+    def boom(*a, **k):
+        raise RuntimeError("tf reload failed")
+
+    monkeypatch.setattr(tf.saved_model, "load", boom)
+    res = run_export(cfg, variables, str(tmp_path / "weights"), onnx=False)
+    assert "savedmodel" not in res.artifacts
+    assert "savedmodel" in res.skipped
+    assert not os.path.exists(str(tmp_path / "weights" /
+                                  "yolov5_n_savedmodel"))
+    # the TPU-native artifacts are unaffected
+    assert os.path.isfile(res.artifacts["msgpack"])
+    assert os.path.isfile(res.artifacts["stablehlo"])
+
+
+@pytest.mark.slow
+def test_onnx_machinery_failure_degrades_in_auto_mode(tmp_path, monkeypatch,
+                                                      reference):
+    """In onnx="auto" mode ANY machinery failure past build_torch_model
+    (converter, torch.onnx version skew, proto validation) skips the leg —
+    same contract as the TF leg — and cleans up any partial artifact;
+    onnx=True keeps it a hard error (round-3 review finding)."""
+    import vision_kit_tpu.interop as interop
+    from vision_kit_tpu.export import run_export
+
+    cfg = _cfg(tmp_path)
+    variables = _init_variables(cfg)
+
+    def boom(torch_model, img_size, path, opset=13):
+        with open(path, "wb") as f:
+            f.write(b"partial")  # a half-written proto must be cleaned up
+        raise RuntimeError("torch.onnx version skew")
+
+    monkeypatch.setattr(interop, "export_onnx", boom)
+    res = run_export(cfg, variables, str(tmp_path / "w1"), onnx="auto")
+    assert "onnx" in res.skipped and "onnx" not in res.artifacts
+    assert not os.path.exists(str(tmp_path / "w1" / "yolov5_n.onnx"))
+    assert os.path.isfile(res.artifacts["msgpack"])
+
+    with pytest.raises(RuntimeError, match="version skew"):
+        run_export(cfg, variables, str(tmp_path / "w2"), onnx=True)
+
+
+def test_broken_root_does_not_poison_module_cache(tmp_path):
+    """A $VISION_KIT_TORCH_ROOT whose package PARTIALLY imports (a submodule
+    lands in sys.modules before __init__ raises) must be fully purged, or
+    the next root's import binds a mixed tree with the broken checkout's
+    stale submodules (round-3 review finding). Subprocess-isolated so the
+    real `vision_kit` module cache of this test process is untouched."""
+    pkg = tmp_path / "broken" / "vision_kit"
+    (pkg / "models").mkdir(parents=True)
+    (pkg / "models" / "__init__.py").write_text("BROKEN_SENTINEL = True\n")
+    (pkg / "__init__.py").write_text(
+        "import vision_kit.models\nraise ImportError('broken checkout')\n"
+    )
+    code = (
+        "import os, sys\n"
+        "sys.path.insert(0, os.environ['VK_REPO'])\n"
+        "from vision_kit_tpu.interop import import_vision_kit_torch\n"
+        "vk = import_vision_kit_torch()\n"
+        "assert vk is not None, 'reference root should still import'\n"
+        "import vision_kit.models as m\n"
+        "assert not hasattr(m, 'BROKEN_SENTINEL'), 'stale submodule leaked'\n"
+        "assert os.path.realpath(m.__file__).startswith('/root/reference')\n"
+        "print('CLEAN_TREE_OK')\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu", VK_REPO=REPO,
+               VISION_KIT_TORCH_ROOT=str(tmp_path / "broken"))
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "CLEAN_TREE_OK" in r.stdout
+
+
 @pytest.mark.parametrize("family", ["v5", "v7"])
 def test_onnx_proto_wellformed(tmp_path, reference, family):
     """interop.export_onnx alone (no TF import): proto written, magic ok,

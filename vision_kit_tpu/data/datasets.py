@@ -213,11 +213,20 @@ class _ImageCacheMixin:
             if meta is None:
                 logger.warning("disk image cache unreadable, rebuilding")
         if meta is not None and (meta[:, 0] > 0).all():
-            self._mm_meta = meta
-            self._mm = np.memmap(self._mm_path, np.uint8, "r",
-                                 shape=self._mm_shape)
-            logger.info("reusing disk image cache %s", self._mm_path)
-            return
+            # the .dat itself can be truncated/corrupt while meta survived
+            # (partial copy, filesystem damage) — fall back to a rebuild
+            # instead of crashing construction
+            try:
+                mm = np.memmap(self._mm_path, np.uint8, "r",
+                               shape=self._mm_shape)
+            except Exception:
+                logger.warning("disk image cache .dat unreadable, rebuilding")
+                meta = None
+            else:
+                self._mm_meta = meta
+                self._mm = mm
+                logger.info("reusing disk image cache %s", self._mm_path)
+                return
 
         if meta is None:
             # before building from scratch, look for a built cache of
@@ -232,12 +241,26 @@ class _ImageCacheMixin:
                            shape=self._mm_shape)
             meta = np.zeros((len(self), 4), np.int32)
         else:
-            mm = np.memmap(self._mm_path, np.uint8, "r+",
-                           shape=self._mm_shape)
-            logger.info(
-                "resuming disk image cache build %s (%d/%d done)",
-                self._mm_path, int((meta[:, 0] > 0).sum()), len(self),
-            )
+            # size check BEFORE r+: numpy memmap r+ silently GROWS a
+            # truncated file with zeros, so a damaged .dat would "resume"
+            # into silently-black rows meta claims are built
+            need = int(np.prod(self._mm_shape))
+            try:
+                if os.path.getsize(self._mm_path) < need:
+                    raise ValueError("disk cache .dat smaller than its shape")
+                mm = np.memmap(self._mm_path, np.uint8, "r+",
+                               shape=self._mm_shape)
+            except Exception:
+                # truncated/corrupt partial .dat: restart the build
+                logger.warning("disk image cache .dat unreadable, rebuilding")
+                mm = np.memmap(self._mm_path, np.uint8, "w+",
+                               shape=self._mm_shape)
+                meta = np.zeros((len(self), 4), np.int32)
+            else:
+                logger.info(
+                    "resuming disk image cache build %s (%d/%d done)",
+                    self._mm_path, int((meta[:, 0] > 0).sum()), len(self),
+                )
 
         sidecar = {"entries": entries, "maxh": maxh, "maxw": maxw,
                    "fast": bool(fast)}

@@ -41,6 +41,34 @@ class ExportResult:
     skipped: dict = field(default_factory=dict)    # kind -> reason
 
 
+def _remove_artifact(path: str) -> None:
+    """Delete a file-or-directory artifact whose numeric check never ran."""
+    import shutil
+
+    try:
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.exists(path):
+            os.remove(path)
+    except OSError as e:
+        logger.warning("could not remove unchecked artifact %s: %s", path, e)
+
+
+def _quarantine_artifact(path: str) -> None:
+    """Rename an artifact that FAILED its numeric check to `<path>.failed`
+    so deploy scripts globbing save_dir can't pick it up, while keeping the
+    bytes around for diagnosis."""
+    try:
+        if os.path.exists(path):
+            failed = path + ".failed"
+            _remove_artifact(failed)
+            os.replace(path, failed)
+            logger.warning("artifact failed its check; quarantined as %s",
+                           failed)
+    except OSError as e:
+        logger.warning("could not quarantine failed artifact %s: %s", path, e)
+
+
 def _probe_input(size) -> np.ndarray:
     """Deterministic non-degenerate probe image batch (values in [0, 1))."""
     h, w = size
@@ -95,6 +123,11 @@ def run_export(cfg, variables, save_dir: str, onnx: str | bool = "auto",
     # the whole leg degrades gracefully: a missing OR version-skewed
     # tensorflow must not abort the export (the ONNX leg below is
     # independent). A failed numeric CHECK, however, is a real error.
+    # Invariant either way: no UNCHECKED artifact survives on disk — an
+    # artifact whose replay could not run is removed, one whose replay
+    # disagreed is quarantine-renamed `.failed` (a deploy script globbing
+    # save_dir must never pick up something the check didn't pass).
+    sm_dir = os.path.join(save_dir, stem + "_savedmodel")
     try:
         import tensorflow as _tf
         from jax.experimental import jax2tf
@@ -108,29 +141,56 @@ def run_export(cfg, variables, save_dir: str, onnx: str | bool = "auto",
             tf_fn, autograph=False,
             input_signature=[_tf.TensorSpec((1, *size, 3), _tf.float32)],
         )
-        sm_dir = os.path.join(save_dir, stem + "_savedmodel")
         _tf.saved_model.save(module, sm_dir)
         # numeric check: reload from disk and replay the probe
         reloaded = _tf.saved_model.load(sm_dir)
         sm_out = reloaded.f(_tf.constant(probe)).numpy()
     except Exception as e:  # tensorflow unavailable or jax2tf/TF skew
+        _remove_artifact(sm_dir)
         res.skipped["savedmodel"] = f"tensorflow/jax2tf leg failed: {e}"
         logger.warning("TF SavedModel export skipped: %s", e)
     else:
-        res.artifacts["savedmodel"] = sm_dir
         delta = float(np.abs(sm_out - ref_out).max())
         res.checks["savedmodel"] = delta
         logger.info("SavedModel check: max |delta| = %.3e", delta)
         if check and delta > SAVEDMODEL_ATOL:
+            _quarantine_artifact(sm_dir)
             raise ExportCheckError(
                 f"SavedModel forward deviates from jit: {delta:.3e} > "
                 f"{SAVEDMODEL_ATOL}"
             )
+        res.artifacts["savedmodel"] = sm_dir
 
     # --- ONNX via the structural converter + torch ----------------------
+    # same contract as the TF leg: in "auto" mode ANY failure of the
+    # machinery (converter strict-load, torch.onnx version skew, proto
+    # validation, a broken local checkout) skips the leg with a warning —
+    # the TPU-native artifacts above were already written and checked.
+    # Only a failed numeric CHECK (ExportCheckError) aborts; onnx=True
+    # turns machinery failures back into hard errors.
     if onnx is False:
         res.skipped["onnx"] = "disabled"
         return res
+    onnx_path = os.path.join(save_dir, stem + ".onnx")
+    try:
+        _onnx_leg(cfg, variables, probe, onnx_path, size, check, res,
+                  build_model)
+    except ExportCheckError:
+        raise
+    except Exception as e:
+        _remove_artifact(onnx_path)
+        if onnx is True:
+            raise
+        res.skipped["onnx"] = f"onnx leg failed: {e}"
+        logger.warning("ONNX export skipped: %s", e)
+    return res
+
+
+def _onnx_leg(cfg, variables, probe, onnx_path, size, check, res,
+              build_model) -> None:
+    import jax
+    import jax.numpy as jnp
+
     from vision_kit_tpu.interop import (
         build_torch_model,
         export_onnx,
@@ -139,14 +199,10 @@ def run_export(cfg, variables, save_dir: str, onnx: str | bool = "auto",
 
     torch_model = build_torch_model(cfg, variables)
     if torch_model is None:
-        msg = ("torch / original Vision-Kit package unavailable "
-               "(set $VISION_KIT_TORCH_ROOT or pip install the torch "
-               "package)")
-        if onnx is True:
-            raise RuntimeError(f"--onnx requested but {msg}")
-        res.skipped["onnx"] = msg
-        logger.warning("ONNX export skipped: %s", msg)
-        return res
+        raise RuntimeError(
+            "torch / original Vision-Kit package unavailable "
+            "(set $VISION_KIT_TORCH_ROOT or pip install the torch package)"
+        )
 
     # numeric check FIRST: the torch graph about to be serialized must
     # match the jit forward. Compare against a row-aligned (anchor-major)
@@ -174,7 +230,6 @@ def run_export(cfg, variables, save_dir: str, onnx: str | bool = "auto",
             f"{TORCH_ATOL}"
         )
 
-    onnx_path = os.path.join(save_dir, stem + ".onnx")
     export_onnx(torch_model, size, onnx_path)
     verify_onnx_file(onnx_path)
     res.artifacts["onnx"] = onnx_path
@@ -184,7 +239,7 @@ def run_export(cfg, variables, save_dir: str, onnx: str | bool = "auto",
         import onnxruntime as ort
     except ImportError:
         res.skipped["onnx_runtime_check"] = "onnxruntime unavailable"
-        return res
+        return
     sess = ort.InferenceSession(onnx_path)
     ort_out = sess.run(["output"],
                        {"images": probe.transpose(0, 3, 1, 2)})[0]
@@ -192,7 +247,8 @@ def run_export(cfg, variables, save_dir: str, onnx: str | bool = "auto",
     res.checks["onnx_runtime"] = delta
     logger.info("ONNX (onnxruntime) check: max |delta| = %.3e", delta)
     if check and delta > TORCH_ATOL:
+        _quarantine_artifact(onnx_path)
+        res.artifacts.pop("onnx", None)
         raise ExportCheckError(
             f"onnxruntime output deviates from jit: {delta:.3e} > {TORCH_ATOL}"
         )
-    return res

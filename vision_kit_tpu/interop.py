@@ -123,6 +123,17 @@ def reset_reference_defaults() -> None:
             d[:] = [256, 512, 1024]
 
 
+def _purge_vision_kit_modules() -> None:
+    """Drop the whole cached `vision_kit` tree from sys.modules. A failed
+    import can leave partially-initialized SUBmodules behind (the package
+    __init__ imported some children before raising); a later root's import
+    would then resolve those names from the stale cache and bind a mixed
+    tree. (`vision_kit_tpu` does not match the dotted prefix.)"""
+    for k in [k for k in sys.modules
+              if k == "vision_kit" or k.startswith("vision_kit.")]:
+        sys.modules.pop(k, None)
+
+
 def import_vision_kit_torch(root: str | None = None):
     """Import the original Vision-Kit torch package, or return None.
 
@@ -136,7 +147,7 @@ def import_vision_kit_torch(root: str | None = None):
 
         return vision_kit
     except Exception:
-        pass
+        _purge_vision_kit_modules()
     roots = [r for r in (root, os.environ.get("VISION_KIT_TORCH_ROOT"))
              if r] + list(_DEFAULT_ROOTS)
     for r in roots:
@@ -151,12 +162,12 @@ def import_vision_kit_torch(root: str | None = None):
             return vision_kit
         except Exception as e:
             # a stale/broken checkout must not shadow a later working root,
-            # nor leave itself on sys.path
+            # nor leave itself on sys.path or in the module cache
             logger.warning("vision_kit torch package at %s failed to "
                            "import: %s", r, e)
             if added and r in sys.path:
                 sys.path.remove(r)
-            sys.modules.pop("vision_kit", None)
+            _purge_vision_kit_modules()
     return None
 
 
