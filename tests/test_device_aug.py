@@ -444,8 +444,8 @@ def test_loader_device_mode_and_train_step():
             )),
             "targets": batch["targets"],
         }
-        state_da = create_train_state(model, variables, tx)
-        state_host = create_train_state(model, variables, tx)
+        state_da = create_train_state(variables, tx)
+        state_host = create_train_state(variables, tx)
         for _ in range(3):
             state_da, m_da = step_da(state_da, batch)
             state_host, m_host = step_host(state_host, host_batch)

@@ -30,7 +30,7 @@ def _setup(base=64):
     )
     tx = make_optimizer(variables["params"], dict(HYP), 10, 10)
     loss = YoloLoss(2, model.grid_anchors, dict(HYP), layout="native")
-    state = create_train_state(model, variables, tx)
+    state = create_train_state(variables, tx)
     return model, loss, tx, state
 
 

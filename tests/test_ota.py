@@ -124,6 +124,76 @@ def test_ota_native_layout_parity(rng):
             rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("dtype", [np.float32, jnp.bfloat16])
+def test_ota_saturated_logits_still_assign(rng, dtype):
+    """Confidently-correct (saturated-sigmoid) predictions must stay
+    assignable. y = sqrt(sig(cls)*sig(obj)) rounds to exactly 1.0 once
+    logits saturate (bf16 ~|z|>9, fp32 ~|z|>17) and 1 - 1e-8 == 1.0 in
+    both dtypes, so a naive log(1-y) cost is NaN there — NaN sorts largest
+    under top_k and silently excluded exactly the best candidates
+    (regression for the stable log-space cls cost)."""
+    loss = make_loss()
+    targets = np.full((1, 4, 5), -1, np.float32)
+    targets[0, 0] = [1, 0.5, 0.5, 0.25, 0.25]
+    targets = jnp.asarray(targets)
+
+    preds = []
+    for s in STRIDES:
+        g = IMG // int(s)
+        p = np.zeros((1, 3, g, g, NC + 5), np.float32)
+        p[..., 4] = 40.0                     # obj saturated
+        p[..., 5:] = -40.0
+        p[..., 5 + 1] = 40.0                 # gt class saturated
+        preds.append(jnp.asarray(p, dtype))
+
+    total, parts = loss(preds, targets)
+    assert np.isfinite(float(total))
+    assert float(parts[0]) > 0.0             # candidates were assigned
+
+    grads = jax.grad(lambda ps: loss(ps, targets)[0])(preds)
+    assert all(np.isfinite(np.asarray(g, np.float32)).all() for g in grads)
+
+
+def test_ota_conflict_reassigns_to_argmin():
+    """Reference semantics (yolo.py:319-323): a multiply-claimed candidate
+    is reassigned to the global argmin-cost gt — even one that never
+    claimed it — never dropped from the foreground set."""
+    # 3 gts x 2 candidates; candidate 0 claimed by gts 1 and 2, but gt 0
+    # (not a claimant) has the globally smallest cost there; candidate 1
+    # has a single claim (gt 1) and must pass through untouched.
+    mm = jnp.array([[False, False],
+                    [True, True],
+                    [True, False]])
+    cost = jnp.array([[1.0, 5.0],
+                      [2.0, 4.0],
+                      [3.0, 9.0]])
+    out = np.asarray(YoloLossOTA._resolve_conflicts(mm, cost))
+    # column 0: reassigned to gt 0 (argmin), not dropped
+    np.testing.assert_array_equal(out[:, 0], [True, False, False])
+    # column 1: single claim untouched
+    np.testing.assert_array_equal(out[:, 1], [False, True, False])
+
+
+def test_ota_focal_gamma_applied(rng):
+    """fl_gamma > 0 must modulate the OTA losses (it is a documented shared
+    hyperparameter; configs/yolov7.yaml exposes both fl_gamma and
+    loss_ota)."""
+    anchors = normalized_anchors(V7_ANCHORS, STRIDES)
+    loss_plain = YoloLossOTA(NC, anchors, HYP, strides=STRIDES)
+    loss_focal = YoloLossOTA(NC, anchors, dict(HYP, fl_gamma=1.5),
+                             strides=STRIDES)
+    preds = make_preds(rng, 1)
+    targets = np.full((1, 4, 5), -1, np.float32)
+    targets[0, 0] = [1, 0.5, 0.5, 0.25, 0.25]
+    targets = jnp.asarray(targets)
+
+    _, p_plain = loss_plain(preds, targets)
+    _, p_focal = loss_focal(preds, targets)
+    assert float(p_plain[1]) != float(p_focal[1])   # obj
+    assert float(p_plain[2]) != float(p_focal[2])   # cls
+    assert float(p_plain[0]) == float(p_focal[0])   # box unaffected
+
+
 def test_ota_each_candidate_single_gt(rng):
     """Internals: after conflict resolution no candidate serves two gts."""
     loss = make_loss()

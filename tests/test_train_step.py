@@ -31,7 +31,7 @@ def _setup(batch, img=64, nc=7):
     tx = make_optimizer(variables["params"], HYP, max_epochs=10,
                         steps_per_epoch=50)
     loss = YoloLoss(nc, model.grid_anchors, HYP)
-    state = create_train_state(model, variables, tx)
+    state = create_train_state(variables, tx)
     rng = np.random.default_rng(0)
     targets = np.full((batch, 8, 5), -1, np.float32)
     targets[:, 0] = [1, 0.5, 0.5, 0.3, 0.3]
@@ -204,7 +204,7 @@ def test_train_step_bf16_descends():
     )
     tx = make_optimizer(variables["params"], HYP, 10, 50)
     loss = YoloLoss(7, model.grid_anchors, HYP)
-    state = create_train_state(model, variables, tx)
+    state = create_train_state(variables, tx)
     rng = np.random.default_rng(0)
     targets = np.full((2, 8, 5), -1, np.float32)
     targets[:, 0] = [1, 0.5, 0.5, 0.3, 0.3]

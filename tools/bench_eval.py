@@ -41,7 +41,7 @@ def main():
            "weight_decay": 0.0005, "warmup_epochs": 3.0,
            "warmup_bias_lr": 0.1, "warmup_momentum": 0.8}
     tx = make_optimizer(variables["params"], hyp, 300, 1000)
-    state = create_train_state(model, variables, tx)
+    state = create_train_state(variables, tx)
     eval_step = make_eval_step(model)
 
     rng = np.random.default_rng(0)

@@ -58,7 +58,7 @@ def main():
     else:
         loss = YoloLoss(80, model.grid_anchors, hyp)
     use_daug = "daug" in sys.argv[1:]
-    state = create_train_state(model, variables, tx)
+    state = create_train_state(variables, tx)
     step = make_train_step(model, loss, tx, donate=False,
                            device_aug=use_daug)
 

@@ -35,7 +35,7 @@ def run(mode):
     )
     loss_fn = YoloLoss(80, model.grid_anchors, hyp)
     tx = make_optimizer(variables["params"], hyp, 300, 1000)
-    state = create_train_state(model, variables, tx)
+    state = create_train_state(variables, tx)
 
     rng = np.random.default_rng(0)
     targets = jnp.asarray(np.where(

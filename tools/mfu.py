@@ -107,7 +107,7 @@ def train_flops_per_image(batch: int) -> float:
     )
     tx = make_optimizer(variables["params"], hyp, 300, 1000)
     loss = YoloLoss(80, model.grid_anchors, hyp)
-    state = create_train_state(model, variables, tx)
+    state = create_train_state(variables, tx)
     step = make_train_step(model, loss, tx, donate=False)
 
     batch_spec = {

@@ -89,7 +89,7 @@ def capture_train(trace_dir: str, batch: int, chunk: int,
     )
     loss_fn = YoloLoss(80, model.grid_anchors, hyp)
     tx = make_optimizer(variables["params"], hyp, 300, 1000)
-    state = create_train_state(model, variables, tx)
+    state = create_train_state(variables, tx)
     step_fn = make_train_step(model, loss_fn, tx, donate=False,
                               device_aug=device_aug)
 

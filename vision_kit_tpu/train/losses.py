@@ -18,7 +18,6 @@ the reference's `tobj[b,a,gy,gx] = iou` keeps whichever write happens last
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence
 
 import numpy as np

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from vision_kit_tpu.ops.boxes import box_iou_aligned, box_iou_pairwise
-from vision_kit_tpu.train.losses import YoloLoss, bce_with_logits
+from vision_kit_tpu.train.losses import YoloLoss
 
 BIG = 1e6
 
@@ -41,6 +41,23 @@ class YoloLossOTA(YoloLoss):
         super().__init__(num_classes, anchors, hyp, layout=layout)
         self.strides = tuple(strides)
         self.top_k = top_k
+
+    @staticmethod
+    def _resolve_conflicts(mm, cost):
+        """A candidate claimed by >1 gt is REASSIGNED to the globally
+        argmin-cost gt (reference yolo.py:319-323 zeroes the column, then
+        sets the argmin row unconditionally — a gt that never claimed the
+        candidate can win it; the candidate stays foreground either way).
+        claims > 1 implies some claimant's cost < BIG/2, so the argmin row
+        is always a valid (gt, candidate) pair.
+
+        mm: (M, C) bool claim matrix; cost: (M, C)."""
+        claims = jnp.sum(mm, axis=0)
+        best_gt = jnp.argmin(cost, axis=0)                       # (C,)
+        onehot_best = jax.nn.one_hot(
+            best_gt, cost.shape[0], dtype=bool
+        ).T                                                      # (M, C)
+        return jnp.where(claims[None, :] > 1, onehot_best, mm)
 
     def __call__(self, preds, targets):
         # Consumes the head's native (B, ny, nx, na, no) training maps
@@ -129,12 +146,23 @@ class YoloLossOTA(YoloLoss):
                 jnp.sum(top_iou, axis=1).astype(jnp.int32), 1, k
             )                                                    # (M,)
 
-            # classification cost (reference :293-308 semantics)
-            obj_p = jax.nn.sigmoid(feats_i[:, 4])
-            cls_p = jax.nn.sigmoid(feats_i[:, 5:])
-            y = jnp.sqrt(jnp.clip(cls_p * obj_p[:, None], 1e-8, 1 - 1e-8))
-            log_y = jnp.log(y)
-            log_1my = jnp.log(1.0 - y)
+            # classification cost (reference :293-308 semantics), computed
+            # from logits in fp32. The reference's y = sqrt(sig(cls)*sig(obj))
+            # rounds to exactly 1.0 once logits saturate (bf16 compute: at
+            # |z| >~ 9; fp32: ~17), and clipping to 1 - 1e-8 is a no-op at
+            # the upper bound in both dtypes (1 - 1e-8 == 1.0), so a naive
+            # log(1 - y) yields -inf and the gt-class cost NaN — NaN sorts
+            # largest under top_k, silently excluding exactly the
+            # best-predicted candidates from assignment. Stable identities:
+            # log y = (log_sig(cls) + log_sig(obj)) / 2,
+            # log(1 - y) = log(-expm1(log y)), finite at any logit.
+            cls_logit = feats_i[:, 5:].astype(jnp.float32)
+            obj_logit = feats_i[:, 4].astype(jnp.float32)
+            log_y = 0.5 * (
+                jax.nn.log_sigmoid(cls_logit)
+                + jax.nn.log_sigmoid(obj_logit)[:, None]
+            )                                                    # (C, nc)
+            log_1my = jnp.log(-jnp.expm1(jnp.minimum(log_y, -1e-20)))
             sum_log_1my = jnp.sum(log_1my, axis=-1)              # (C,)
             # BCE summed over classes with one-hot gt:
             # -(log y_c - log(1-y_c) + sum_j log(1-y_j))
@@ -161,27 +189,22 @@ class YoloLossOTA(YoloLoss):
                 rank_ok.reshape(-1)
             )
 
-            # conflict resolution: candidate claimed by >1 gt -> argmin cost
-            claims = jnp.sum(mm, axis=0)
-            best_gt = jnp.argmin(cost, axis=0)                   # (C,)
-            onehot_best = jax.nn.one_hot(
-                best_gt, cost.shape[0], dtype=bool
-            ).T                                                  # (M, C)
-            mm = jnp.where(claims[None, :] > 1, mm & onehot_best, mm)
+            mm = self._resolve_conflicts(mm, cost)
 
             fg = jnp.any(mm, axis=0)                             # (C,)
             matched_gt = jnp.argmax(mm, axis=0)                  # (C,)
             return fg, matched_gt
 
         fg, matched_gt = jax.vmap(assign)(feats, gxy, valid_c, targets)
-        # fg: (B, C) bool; matched_gt: (B, C) int
+        # fg: (B, C) bool; matched_gt: (B, C) int — integer/bool assignment
+        # outputs; no gradient flows through the cost matrix, only through
+        # the gathered preds in the per-level losses below.
 
         # ---- losses per level ----
         loss_box = 0.0
         loss_obj = 0.0
         loss_cls = 0.0
         col = 0
-        total_fg = jnp.maximum(jnp.sum(fg), 1).astype(preds[0].dtype)
         for i, pred in enumerate(preds):
             meta = level_meta[i]
             cl = meta["cl"]
@@ -222,7 +245,7 @@ class YoloLossOTA(YoloLoss):
             tobj = jnp.zeros((b_ * na_ * ny * nx,), pred.dtype)
             tobj = tobj.at[lin].max(tobj_updates, mode="drop")
             loss_obj += (
-                bce_with_logits(
+                self._bce(
                     pred.reshape(-1, pred.shape[-1])[:, 4], tobj,
                     self.hyp.get("obj_pw", 1.0),
                 ).mean()
@@ -235,7 +258,7 @@ class YoloLossOTA(YoloLoss):
                     jnp.clip(gt[..., 0], 0, nc - 1).astype(jnp.int32), nc
                 )
                 t = jnp.where(onehot > 0, self.cp, self.cn)
-                ce = bce_with_logits(
+                ce = self._bce(
                     feats_l[..., 5:], t, self.hyp.get("cls_pw", 1.0)
                 )
                 loss_cls += (

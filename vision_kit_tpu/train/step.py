@@ -40,7 +40,7 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def create_train_state(model, variables, tx) -> TrainState:
+def create_train_state(variables, tx) -> TrainState:
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(

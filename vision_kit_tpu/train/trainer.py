@@ -147,7 +147,7 @@ class Trainer:
                 dict(cfg.hypermeters), layout=layout,
             )
         self.state = jax.device_put(
-            create_train_state(self.model, variables, self.tx),
+            create_train_state(variables, self.tx),
             replicated_sharding(self.mesh),
         )
         self.train_step = make_train_step(
