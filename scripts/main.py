@@ -2,11 +2,12 @@
 scripts/main.py — same CLI surface: task, --config, --ckpt-dir, --seed).
 
 Export (vision_kit_tpu/export.py) writes TPU-native artifacts (flax msgpack
-weights + StableHLO text of the jitted fixed-shape program) plus the
-interchange artifacts — TF SavedModel and, via the structural weight
-converter + the original torch package, the reference's checked ONNX
-(opset 13, dynamic axes). Every runnable artifact is numerically compared
-against the jit forward before export succeeds.
+weights, StableHLO text, and a runnable jax.export serialized program —
+the TorchScript-trace counterpart) plus the interchange artifacts — TF
+SavedModel and, via the structural weight converter + the original torch
+package, the reference's checked ONNX (opset 13, dynamic axes). Every
+runnable artifact is numerically compared against the jit forward before
+export succeeds.
 """
 
 from __future__ import annotations

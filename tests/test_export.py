@@ -5,6 +5,9 @@ opset 13 + onnx.checker) and TorchScript traces (base_trainer.py:49-124).
 These tests pin that every artifact `vision_kit_tpu/export.py` produces is
 numerically compared against the jit forward:
 
+  * msgpack weights: reloaded from disk, every leaf exactly equal.
+  * jax.export program (the runnable TorchScript-counterpart): serialized,
+    DESERIALIZED FROM DISK, replayed on the probe, <= SAVEDMODEL_ATOL.
   * TF SavedModel: exported, RELOADED FROM DISK, replayed on the probe
     input, max |delta| <= SAVEDMODEL_ATOL (same StableHLO through TF).
   * ONNX: the converted torch model (structural flax_to_torch + original
@@ -66,9 +69,16 @@ def test_run_export_all_artifacts_checked(tmp_path, reference):
     res = run_export(cfg, variables, str(tmp_path / "weights"), onnx="auto")
 
     assert os.path.isfile(res.artifacts["msgpack"])
+    assert res.checks["msgpack"] == 0.0  # lossless round-trip, checked
     assert os.path.isfile(res.artifacts["stablehlo"])
     with open(res.artifacts["stablehlo"]) as f:
         assert "stablehlo" in f.read(4000)
+
+    # the runnable native artifact: serialized, deserialized FROM DISK and
+    # replayed against the jit forward inside run_export
+    assert "jaxexport" in res.artifacts, res.skipped
+    assert os.path.getsize(res.artifacts["jaxexport"]) > 100_000
+    assert res.checks["jaxexport"] <= SAVEDMODEL_ATOL
 
     # tensorflow is present in this environment: the leg must not be skipped
     assert "savedmodel" in res.artifacts, res.skipped
@@ -148,6 +158,59 @@ def test_savedmodel_unloadable_artifact_removed(tmp_path, monkeypatch):
     # the TPU-native artifacts are unaffected
     assert os.path.isfile(res.artifacts["msgpack"])
     assert os.path.isfile(res.artifacts["stablehlo"])
+
+
+@pytest.mark.slow
+def test_jaxexport_unreplayable_artifact_removed(tmp_path, monkeypatch):
+    """Same no-unchecked-artifact invariant for the jax.export leg: if the
+    written bytes cannot be deserialized and replayed, the artifact must
+    not survive on disk, and the other legs are unaffected."""
+    from jax import export as jax_export
+
+    from vision_kit_tpu.export import run_export
+
+    cfg = _cfg(tmp_path)
+    variables = _init_variables(cfg)
+
+    def boom(data):
+        raise RuntimeError("deserialize failed")
+
+    monkeypatch.setattr(jax_export, "deserialize", boom)
+    res = run_export(cfg, variables, str(tmp_path / "weights"), onnx=False)
+    assert "jaxexport" not in res.artifacts
+    assert "jaxexport" in res.skipped
+    assert not os.path.exists(str(tmp_path / "weights" /
+                                  "yolov5_n.jaxexport"))
+    assert os.path.isfile(res.artifacts["msgpack"])
+    assert "savedmodel" in res.artifacts
+
+
+def test_jaxexport_replay_standalone(tmp_path):
+    """The shipped artifact is genuinely standalone: a fresh consumer that
+    only has the .jaxexport bytes (no model code, no weights) reproduces
+    the jit forward via jax.export.deserialize + call."""
+    import numpy as np
+    from jax import export as jax_export
+
+    from vision_kit_tpu.export import SAVEDMODEL_ATOL, run_export
+    from vision_kit_tpu.models import build_model
+
+    cfg = _cfg(tmp_path)
+    variables = _init_variables(cfg)
+    res = run_export(cfg, variables, str(tmp_path / "weights"), onnx=False)
+
+    with open(res.artifacts["jaxexport"], "rb") as f:
+        replay = jax_export.deserialize(f.read())
+    assert set(replay.platforms) == {"cpu", "tpu"}
+    probe = np.random.default_rng(99).random((1, 64, 64, 3), np.float32)
+
+    model = build_model(cfg, export=True)
+    (want,) = jax.jit(
+        lambda x: model.apply(variables, x, training=False)
+    )(jnp.asarray(probe))
+    got = replay.call(jnp.asarray(probe))
+    assert float(np.abs(np.asarray(got) - np.asarray(want)).max()) \
+        <= SAVEDMODEL_ATOL
 
 
 @pytest.mark.slow
@@ -254,7 +317,7 @@ def test_onnx_proto_wellformed(tmp_path, reference, family):
 
 @pytest.mark.slow
 def test_main_cli_export_onnx(tmp_path):
-    """CLI e2e: `main.py export --onnx` writes all four artifacts."""
+    """CLI e2e: `main.py export --onnx` writes all five artifacts."""
     cfg_path = str(tmp_path / "cfg.yaml")
     base = yaml.safe_load(open(os.path.join(REPO, "configs/yolov5.yaml")))
     base["model"].update(version="n", num_classes=2, input_size=[64, 64],
@@ -278,6 +341,7 @@ def test_main_cli_export_onnx(tmp_path):
     files = os.listdir(weights)
     assert "yolov5_n.msgpack" in files
     assert "yolov5_n.stablehlo.mlir" in files
+    assert "yolov5_n.jaxexport" in files
     assert "yolov5_n.onnx" in files
     assert "yolov5_n_savedmodel" in files
     log = r.stdout + r.stderr

@@ -46,7 +46,7 @@ def _run_pair(reference, jax_model, torch_model, img=IMG, batch=1, seed=0):
     return ref_out, got_out
 
 
-@pytest.mark.parametrize("variant", ["n", "s"])
+@pytest.mark.parametrize("variant", ["n", "s", "m", "l", "x"])
 def test_yolov5_forward_parity(reference, variant):
     from vision_kit.models.architectures.yolov5 import YOLOV5 as RefV5
 
@@ -66,11 +66,12 @@ def test_yolov5_forward_parity(reference, variant):
         )
 
 
-def test_yolov7_forward_parity(reference):
+@pytest.mark.parametrize("variant", ["base", "x"])
+def test_yolov7_forward_parity(reference, variant):
     from vision_kit.models.architectures.yolov7 import YOLOV7 as RefV7
 
-    torch_model = RefV7(variant="base", num_classes=80, deploy=False)
-    jax_model = YOLOV7(variant="base", num_classes=80, deploy=False, decode_order="reference")
+    torch_model = RefV7(variant=variant, num_classes=80, deploy=False)
+    jax_model = YOLOV7(variant=variant, num_classes=80, deploy=False, decode_order="reference")
     ref_out, got_out = _run_pair(reference, jax_model, torch_model)
 
     ref_decoded = ref_out[0].numpy()

@@ -1,8 +1,8 @@
 """Every model variant the reference ships (README.md:42-81 model zoo:
 YOLOv5 s/m/l/x + n, YOLOv7 base/x) must construct and forward with the
-right pyramid shapes. The n/s/base variants get full torch parity in
-test_model_parity.py; this closes the config-table coverage for the
-larger multipliers without the torch round-trip cost."""
+right pyramid shapes. All zoo variants additionally get full torch
+forward parity in test_model_parity.py; these cheap structural checks
+remain as the fast first-line config-table gate."""
 
 import numpy as np
 import pytest

@@ -2,10 +2,13 @@
 
 Counterpart of the reference's export task (scripts/main.py:74-98 — ONNX
 opset 13 + TorchScript) and base_trainer.py:49-124 (TorchScript traces).
-TPU-native artifacts come first (msgpack weights + StableHLO program), then
-the interchange artifacts: a TF SavedModel (via jax2tf native serialization)
-and a one-command ONNX file driven through the structural weight converter
-and the original torch package (vision_kit_tpu/interop.py).
+TPU-native artifacts come first (msgpack weights — round-trip-checked — a
+StableHLO text dump, and a RUNNABLE jax.export serialized program: weights
+embedded, cpu+tpu platforms, reloadable with jax.export.deserialize — the
+TorchScript-trace counterpart), then the interchange artifacts: a TF
+SavedModel (via jax2tf native serialization) and a one-command ONNX file
+driven through the structural weight converter and the original torch
+package (vision_kit_tpu/interop.py).
 
 Every artifact that can execute here is *numerically compared against the
 jit forward* on a fixed probe input before the export is declared good —
@@ -100,6 +103,25 @@ def run_export(cfg, variables, save_dir: str, onnx: str | bool = "auto",
     msgpack_path = os.path.join(save_dir, stem + ".msgpack")
     with open(msgpack_path, "wb") as f:
         f.write(serialization.to_bytes(variables))
+    # round-trip check: reload the bytes FROM DISK and compare every leaf
+    # exactly (serialization is lossless; any delta means disk corruption)
+    with open(msgpack_path, "rb") as f:
+        reloaded_vars = serialization.from_bytes(variables, f.read())
+    leaf_deltas = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(
+            np.asarray(a).astype(np.float64)
+            - np.asarray(b).astype(np.float64)).max())
+        if np.asarray(a).size else 0.0,
+        variables, reloaded_vars,
+    )
+    msgpack_delta = max(jax.tree_util.tree_leaves(leaf_deltas), default=0.0)
+    res.checks["msgpack"] = msgpack_delta
+    if check and msgpack_delta > 0.0:
+        _quarantine_artifact(msgpack_path)
+        raise ExportCheckError(
+            f"msgpack weights round-trip is not lossless: max |delta| = "
+            f"{msgpack_delta:.3e}"
+        )
     res.artifacts["msgpack"] = msgpack_path
 
     model = build_model(cfg, export=True)
@@ -118,6 +140,42 @@ def run_export(cfg, variables, save_dir: str, onnx: str | bool = "auto",
 
     probe = _probe_input(size)
     ref_out = np.asarray(jax.jit(forward)(jnp.asarray(probe)))
+
+    # --- jax.export serialized program -----------------------------------
+    # The RUNNABLE native artifact (counterpart of the reference's
+    # TorchScript trace, base_trainer.py:49-79): weights embedded as
+    # constants, multi-platform (cpu+tpu) StableHLO, reloadable with
+    # jax.export.deserialize + .call() — no model code or retrace needed.
+    # Same no-unchecked-artifact invariant as the legs below: the bytes are
+    # DESERIALIZED FROM DISK and replayed on the probe before the artifact
+    # is declared good.
+    jexp_path = os.path.join(save_dir, stem + ".jaxexport")
+    try:
+        from jax import export as jax_export
+
+        exported = jax_export.export(
+            jax.jit(forward), platforms=("cpu", "tpu")
+        )(jax.ShapeDtypeStruct((1, *size, 3), jnp.float32))
+        with open(jexp_path, "wb") as f:
+            f.write(exported.serialize())
+        with open(jexp_path, "rb") as f:
+            replay = jax_export.deserialize(f.read())
+        jx_out = np.asarray(replay.call(jnp.asarray(probe)))
+    except Exception as e:  # lowering/platform skew — not a numeric failure
+        _remove_artifact(jexp_path)
+        res.skipped["jaxexport"] = f"jax.export leg failed: {e}"
+        logger.warning("jax.export artifact skipped: %s", e)
+    else:
+        delta = float(np.abs(jx_out - ref_out).max())
+        res.checks["jaxexport"] = delta
+        logger.info("jax.export check: max |delta| = %.3e", delta)
+        if check and delta > SAVEDMODEL_ATOL:
+            _quarantine_artifact(jexp_path)
+            raise ExportCheckError(
+                f"deserialized jax.export program deviates from jit: "
+                f"{delta:.3e} > {SAVEDMODEL_ATOL}"
+            )
+        res.artifacts["jaxexport"] = jexp_path
 
     # --- TF SavedModel (jax2tf native serialization) --------------------
     # the whole leg degrades gracefully: a missing OR version-skewed
