@@ -283,13 +283,14 @@ class DetEvaluator:
         import contextlib
         import io
         import json
+        import os
         import tempfile
 
         if not self.coco_data:
             return ""
         coco_gt = COCO(self.gt_json)
-        _, tmp = tempfile.mkstemp(suffix=".json")
-        with open(tmp, "w") as f:
+        fd, tmp = tempfile.mkstemp(suffix=".json")
+        with os.fdopen(fd, "w") as f:
             json.dump(self.coco_data, f)
         coco_dt = coco_gt.loadRes(tmp)
         ev = COCOeval(coco_gt, coco_dt, "bbox")
