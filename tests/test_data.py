@@ -507,6 +507,42 @@ def test_disk_cache_truncated_dat_rebuilds(tmp_path, monkeypatch):
         np.testing.assert_array_equal(expect[i], ds2.pull_item(i)[0])
 
 
+def test_disk_cache_crash_mid_rebuild_not_black(tmp_path, monkeypatch):
+    """Crash AFTER the rebuild's zero-filling 'w+' open but BEFORE the first
+    chunk republishes meta: the stale meta claiming rows built must have
+    been deleted first, or the next construction would pass both the
+    complete-meta reuse check and the size check and silently serve black
+    images (round-3 advisor finding)."""
+    import glob as _glob
+
+    from vision_kit_tpu.data.datasets import YOLODataset
+
+    _mk_rect_set(tmp_path, n=4)
+    plain = YOLODataset(str(tmp_path), img_size=96)
+    expect = {i: np.array(plain.pull_item(i)[0]) for i in range(4)}
+    YOLODataset(str(tmp_path), img_size=96, cache_images="disk")
+    dat = _glob.glob(str(tmp_path / ".vk_imgcache_*.dat"))[0]
+
+    # complete meta + truncated pixels -> rebuild path engages; die before
+    # ANY chunk completes (the advisor's crash window)
+    with open(dat, "r+b") as f:
+        f.truncate(1024)
+
+    def dying(self, idxs):
+        raise RuntimeError("simulated kill mid-rebuild")
+
+    monkeypatch.setattr(YOLODataset, "_decode_resized_batch", dying)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        YOLODataset(str(tmp_path), img_size=96, cache_images="disk")
+    monkeypatch.undo()
+
+    # the .dat is now full-size and zero-filled; a surviving stale meta
+    # would make this construction reuse it as "complete" -> black images
+    ds = YOLODataset(str(tmp_path), img_size=96, cache_images="disk")
+    for i in range(4):
+        np.testing.assert_array_equal(expect[i], ds.pull_item(i)[0])
+
+
 def test_disk_cache_shared_across_subset_split(tmp_path, monkeypatch):
     """A dataset whose file list is a subset of an already-built cache
     (same size/decode mode) adopts that cache read-only via a row map —

@@ -122,6 +122,15 @@ def test_run_export_check_catches_corruption(tmp_path, reference):
                 list(m.parameters())[-1].add_(1.0)
         return m
 
+    # a stale .onnx from a previous export into the same save_dir: the
+    # torch-forward gate fires BEFORE export_onnx writes anything, so
+    # without quarantine the stale proto would outlive the failed check
+    # unchecked (round-3 advisor finding)
+    os.makedirs(str(tmp_path / "weights"), exist_ok=True)
+    stale = str(tmp_path / "weights" / "yolov5_n.onnx")
+    with open(stale, "wb") as f:
+        f.write(b"stale proto from a previous export")
+
     # export.py resolves build_torch_model from interop inside the function
     # body, so patching the module attribute is sufficient
     interop.build_torch_model = corrupted
@@ -131,6 +140,8 @@ def test_run_export_check_catches_corruption(tmp_path, reference):
                        onnx=True)
     finally:
         interop.build_torch_model = orig
+    assert not os.path.exists(stale)
+    assert os.path.exists(stale + ".failed")
 
 
 @pytest.mark.slow

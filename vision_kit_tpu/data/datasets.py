@@ -33,6 +33,18 @@ logger = logging.getLogger("vision_kit_tpu")
 IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
 
+def _remove_stale_meta(meta_path: str) -> None:
+    """Delete an on-disk image-cache meta before its .dat is recreated with
+    'w+' (zero-filled): a crash between the two must present as an EMPTY
+    cache on the next construction, never as a built one over zeroed pixels."""
+    try:
+        if os.path.exists(meta_path):
+            os.remove(meta_path)
+    except OSError as e:
+        logger.warning("could not remove stale cache meta %s: %s",
+                       meta_path, e)
+
+
 def _use_native() -> bool:
     """Native vkio decode path (C++ thread-pool, bit-identical to the cv2
     path — tests/test_native.py). Opt out with VK_NO_NATIVE=1."""
@@ -237,6 +249,11 @@ class _ImageCacheMixin:
                                                maxw, fast)
             if shared is not None:
                 return
+            # a stale meta (e.g. wrong shape, or left by a different run)
+            # must not survive the zero-filling 'w+' open: a crash before
+            # the first chunk republishes meta would otherwise leave zeroed
+            # pixels under a meta claiming them built — silently-black rows
+            _remove_stale_meta(meta_path)
             mm = np.memmap(self._mm_path, np.uint8, "w+",
                            shape=self._mm_shape)
             meta = np.zeros((len(self), 4), np.int32)
@@ -251,7 +268,11 @@ class _ImageCacheMixin:
                 mm = np.memmap(self._mm_path, np.uint8, "r+",
                                shape=self._mm_shape)
             except Exception:
-                # truncated/corrupt partial .dat: restart the build
+                # truncated/corrupt partial .dat: restart the build. The
+                # on-disk meta claiming rows built goes FIRST — 'w+' zero-
+                # fills the .dat, and a crash mid-rebuild must read as an
+                # empty cache, not a built one serving black images
+                _remove_stale_meta(meta_path)
                 logger.warning("disk image cache .dat unreadable, rebuilding")
                 mm = np.memmap(self._mm_path, np.uint8, "w+",
                                shape=self._mm_shape)

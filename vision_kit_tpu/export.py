@@ -234,6 +234,12 @@ def run_export(cfg, variables, save_dir: str, onnx: str | bool = "auto",
         _onnx_leg(cfg, variables, probe, onnx_path, size, check, res,
                   build_model)
     except ExportCheckError:
+        # a check failed — possibly BEFORE export_onnx wrote anything (the
+        # torch-forward gate), in which case a stale .onnx from a previous
+        # export into the same save_dir would survive unchecked. Quarantine
+        # it (no-op if the late runtime check already did, or none exists).
+        _quarantine_artifact(onnx_path)
+        res.artifacts.pop("onnx", None)
         raise
     except Exception as e:
         _remove_artifact(onnx_path)

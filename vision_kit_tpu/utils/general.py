@@ -36,10 +36,27 @@ def dw_multiple_generator(version: str = "s") -> tuple[float, float]:
     return width, round(depth, 2)
 
 
-def update_loss_cfg(cfg):
+def update_loss_cfg(cfg, nl: int | None = None):
     """Scale loss gains by layer count / class count / image size
-    (reference general.py:9-15). Mutates and returns cfg."""
-    nl = 3
+    (reference general.py:9-15). Mutates and returns cfg.
+
+    nl is the number of detection levels. The reference derives it from the
+    built model's head (`de_parallel(model.head).nl`); here it comes from the
+    same anchor table the head is built from, so a future P6-style 4-level
+    head cannot silently mis-scale the gains. Pass nl explicitly for a
+    custom head.
+    """
+    if nl is None:
+        from vision_kit_tpu.models.heads import V5_ANCHORS, V7_ANCHORS
+
+        name = str(cfg.model.name).lower()
+        anchors = {"yolov5": V5_ANCHORS, "yolov7": V7_ANCHORS}.get(name)
+        assert anchors is not None, (
+            f"update_loss_cfg cannot derive nl for model {cfg.model.name!r}; "
+            "pass nl= explicitly"
+        )
+        nl = len(anchors)
+    assert nl >= 1, f"nl must be >= 1, got {nl}"
     cfg.hypermeters.box *= 3 / nl
     cfg.hypermeters.cls *= cfg.model.num_classes / 80 * 3 / nl
     cfg.hypermeters.obj *= (cfg.model.input_size[0] / 640) ** 2 * 3 / nl
