@@ -326,6 +326,103 @@ def test_onnx_proto_wellformed(tmp_path, reference, family):
     assert b"images" in data and b"output" in data
 
 
+def test_simplify_onnx_fake_toolchain(tmp_path, monkeypatch):
+    """simplify_onnx contract with onnxsim present (faked — the package is
+    absent in this image): success swaps the proto atomically after
+    re-validation; a failed onnxsim check raises and leaves the original
+    proto byte-identical; absent toolchain returns False."""
+    import types
+
+    from vision_kit_tpu.interop import simplify_onnx
+
+    # a minimal well-formed-enough proto for verify_onnx_file's fallback
+    orig_bytes = b"\x08\x07 images output original"
+    path = str(tmp_path / "m.onnx")
+    with open(path, "wb") as f:
+        f.write(orig_bytes)
+
+    # absent -> False, untouched
+    assert simplify_onnx(path) is False
+    assert open(path, "rb").read() == orig_bytes
+
+    simp_bytes = b"\x08\x07 images output simplified"
+    fake_onnx = types.ModuleType("onnx")
+    fake_onnx.load = lambda p: open(p, "rb").read()
+    fake_onnx.save = lambda m, p: open(p, "wb").write(m)
+
+    def fake_check(m):  # verify_onnx_file routes through onnx.checker
+        if not m or m[0] != 0x08:
+            raise ValueError("fake: not an ONNX ModelProto")
+
+    fake_onnx.checker = types.SimpleNamespace(check_model=fake_check)
+    fake_onnxsim = types.ModuleType("onnxsim")
+    fake_onnxsim.simplify = lambda m: (simp_bytes, True)
+    monkeypatch.setitem(sys.modules, "onnx", fake_onnx)
+    monkeypatch.setitem(sys.modules, "onnxsim", fake_onnxsim)
+
+    assert simplify_onnx(path) is True
+    assert open(path, "rb").read() == simp_bytes
+    assert not os.path.exists(path + ".simplified.tmp")
+
+    # onnxsim's own check failing -> raise, file untouched
+    with open(path, "wb") as f:
+        f.write(orig_bytes)
+    fake_onnxsim.simplify = lambda m: (simp_bytes, False)
+    with pytest.raises(RuntimeError, match="onnxsim"):
+        simplify_onnx(path)
+    assert open(path, "rb").read() == orig_bytes
+
+    # simplifier emitting a CORRUPT proto -> verify fails on the tmp copy,
+    # original survives byte-identical, tmp cleaned up
+    fake_onnxsim.simplify = lambda m: (b"garbage", True)
+    with pytest.raises(ValueError, match="ModelProto"):
+        simplify_onnx(path)
+    assert open(path, "rb").read() == orig_bytes
+    assert not os.path.exists(path + ".simplified.tmp")
+
+
+@pytest.mark.slow
+def test_onnx_batch2_runtime_gate(tmp_path, monkeypatch, reference):
+    """The dynamic-batch runtime check is live: a fake onnxruntime whose
+    session replays the converted torch model passes batch 1 but returns
+    garbage at batch 2 -> the export fails loudly and the proto is
+    quarantined (VERDICT r3 #7: prove the declared dynamic batch axis)."""
+    import types
+
+    import torch
+
+    import vision_kit_tpu.interop as interop
+    from vision_kit_tpu.export import ExportCheckError, run_export
+
+    cfg = _cfg(tmp_path)
+    variables = _init_variables(cfg)
+    tm = interop.build_torch_model(cfg, variables)
+    assert tm is not None
+
+    class FakeSession:
+        def __init__(self, path, *a, **k):
+            pass
+
+        def run(self, outputs, feeds):
+            x = torch.from_numpy(feeds["images"])
+            if x.shape[0] > 1:  # batch-2 leg: baked batch dim simulated
+                return [np.zeros((x.shape[0], 1, 1), np.float32)]
+            with torch.no_grad():
+                out = tm(x)
+            dec = out[0] if isinstance(out, (tuple, list)) else out
+            return [dec.numpy()]
+
+    fake_ort = types.ModuleType("onnxruntime")
+    fake_ort.InferenceSession = FakeSession
+    monkeypatch.setitem(sys.modules, "onnxruntime", fake_ort)
+
+    with pytest.raises(ExportCheckError, match="batch-2"):
+        run_export(cfg, variables, str(tmp_path / "weights"), onnx=True)
+    onnx_path = str(tmp_path / "weights" / "yolov5_n.onnx")
+    assert not os.path.exists(onnx_path)
+    assert os.path.exists(onnx_path + ".failed")
+
+
 @pytest.mark.slow
 def test_main_cli_export_onnx(tmp_path):
     """CLI e2e: `main.py export --onnx` writes all five artifacts."""

@@ -296,6 +296,23 @@ def _onnx_leg(cfg, variables, probe, onnx_path, size, check, res,
 
     export_onnx(torch_model, size, onnx_path)
     verify_onnx_file(onnx_path)
+
+    # onnxsim pass (reference base_trainer.py:110-118) — graceful when the
+    # package is absent; a FAILED simplify keeps the original (already
+    # validated) proto and records the skip. simplify_onnx swaps the file
+    # atomically only after re-validating, so the artifact on disk is
+    # well-formed either way; the runtime replay below then checks whatever
+    # proto (simplified or not) actually ships.
+    from vision_kit_tpu.interop import simplify_onnx
+
+    try:
+        if simplify_onnx(onnx_path):
+            logger.info("ONNX simplified in place (onnxsim)")
+        else:
+            res.skipped["onnx_simplify"] = "onnxsim unavailable"
+    except Exception as e:
+        res.skipped["onnx_simplify"] = f"onnxsim failed: {e}"
+        logger.warning("ONNX simplify skipped: %s", e)
     res.artifacts["onnx"] = onnx_path
 
     # onnxruntime replay when available (absent in this image)
@@ -315,4 +332,24 @@ def _onnx_leg(cfg, variables, probe, onnx_path, size, check, res,
         res.artifacts.pop("onnx", None)
         raise ExportCheckError(
             f"onnxruntime output deviates from jit: {delta:.3e} > {TORCH_ATOL}"
+        )
+
+    # dynamic-batch check: the proto declares batch dynamic — prove it by
+    # replaying a batch-2 input (probe + its horizontal flip) against the
+    # jit forward at batch 2. Catches a simplifier or exporter that baked
+    # the batch dim (the H/W axes stay export-size; see export_onnx caveat).
+    probe2 = np.concatenate([probe, probe[:, :, ::-1, :]], axis=0)
+    jax2 = np.asarray(jax.jit(fwd_ref_order)(jnp.asarray(probe2)))
+    ort2 = sess.run(["output"],
+                    {"images": probe2.transpose(0, 3, 1, 2)})[0]
+    delta2 = float(np.abs(ort2 - jax2).max())
+    res.checks["onnx_runtime_batch2"] = delta2
+    logger.info("ONNX (onnxruntime, batch 2) check: max |delta| = %.3e",
+                delta2)
+    if check and delta2 > TORCH_ATOL:
+        _quarantine_artifact(onnx_path)
+        res.artifacts.pop("onnx", None)
+        raise ExportCheckError(
+            f"onnxruntime batch-2 output deviates from jit: {delta2:.3e} > "
+            f"{TORCH_ATOL}"
         )

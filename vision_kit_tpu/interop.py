@@ -293,6 +293,35 @@ def export_onnx(torch_model, img_size, path: str, opset: int = 13) -> str:
     return path
 
 
+def simplify_onnx(path: str) -> bool:
+    """Reference's onnxsim pass (core/train/base_trainer.py:110-118): run
+    onnx-simplifier over the exported proto when the package is importable.
+
+    Returns False when onnxsim (or onnx) is unavailable — the caller
+    degrades gracefully, like the TF leg. Raises when onnxsim ran but its
+    own output check failed. The original proto is NEVER corrupted: the
+    simplified model is written to a tmp path, structurally validated, and
+    atomically swapped in only then."""
+    try:
+        import onnx
+        import onnxsim
+    except ImportError:
+        return False
+    model = onnx.load(path)
+    simplified, ok = onnxsim.simplify(model)
+    if not ok:
+        raise RuntimeError("onnxsim simplified-model check failed")
+    tmp = path + ".simplified.tmp"
+    try:
+        onnx.save(simplified, tmp)
+        verify_onnx_file(tmp)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    return True
+
+
 def verify_onnx_file(path: str) -> None:
     """Structural validation of the exported proto. Full onnx.checker when
     the package exists; otherwise parse the ModelProto wire format far
