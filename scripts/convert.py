@@ -1,11 +1,16 @@
 """Weight converter CLI: torch `.pt`/`.ckpt` <-> flax `.msgpack`.
 
-Counterpart of reference scripts/convert.py. The reference pulls upstream
-ultralytics/WongKinYiu weights via torch.hub and zip-maps state_dict keys by
-declaration order (convert.py:22-23); this environment has no network, so
-this tool converts *local* checkpoint files, using the structural key
-translation in vision_kit_tpu.convert (OIHW->HWIO transpose, BN split,
-anchor-buffer drop) with full shape checking.
+Counterpart of reference scripts/convert.py. Two import modes:
+
+  * default: a vision_kit-format checkpoint (`.pt`/`.ckpt`), translated via
+    the structural key map in vision_kit_tpu.convert (OIHW->HWIO transpose,
+    BN split, anchor-buffer drop) with full shape checking.
+  * `--from-upstream`: a LOCAL upstream ultralytics/WongKinYiu `.pt` — the
+    reference's model-zoo source. The reference pulls these via torch.hub
+    and zip-maps state_dict keys by declaration order (convert.py:22-23,
+    50-51); this replicates the positional zip-map (anchors/anchor_grid
+    buffers dropped) against an offline reconstruction of the vision_kit
+    key order, then runs the same shape-checked structural translation.
 
 `--to-torch` runs the other direction: a `.msgpack` weights file becomes a
 reference-loadable `{"model": state_dict}` `.pt` (fp16 like the reference's
@@ -32,6 +37,10 @@ def main():
     parser.add_argument("--variant", "-v", type=str, default="s")
     parser.add_argument("--num-classes", "-n", type=int, default=80)
     parser.add_argument("--output", "-o", type=str, default=None)
+    parser.add_argument("--from-upstream", action="store_true",
+                        help="input is an upstream ultralytics/WongKinYiu "
+                             ".pt: positional zip-map (reference "
+                             "convert.py:22-23,50-51) before translation")
     parser.add_argument("--reparameterize", action="store_true",
                         help="fold v7 implicit layers into head convs")
     parser.add_argument("--to-torch", action="store_true",
@@ -51,8 +60,10 @@ def main():
     from vision_kit_tpu.convert import (
         flax_to_torch,
         load_torch_checkpoint,
+        load_upstream_checkpoint,
         reparameterize_v7,
         torch_to_flax,
+        upstream_to_vision_kit,
     )
     from vision_kit_tpu.models import YOLOV5, YOLOV7
 
@@ -77,7 +88,11 @@ def main():
         print(f"converted {args.weights} -> {out}")
         return
 
-    sd = load_torch_checkpoint(args.weights)
+    if args.from_upstream:
+        sd = upstream_to_vision_kit(load_upstream_checkpoint(args.weights),
+                                    template)
+    else:
+        sd = load_torch_checkpoint(args.weights)
     variables = torch_to_flax(sd, template=template)
     if args.reparameterize and args.model == "yolov7":
         variables = reparameterize_v7(variables, args.num_classes)

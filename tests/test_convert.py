@@ -1,6 +1,8 @@
 """Converter tests: key translation, shape checking, checkpoint file
 round-trip, missing-key detection."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -12,7 +14,10 @@ from vision_kit_tpu.convert import (
     _untranslate_name,
     flax_to_torch,
     load_torch_checkpoint,
+    load_upstream_checkpoint,
     torch_to_flax,
+    upstream_to_vision_kit,
+    vision_kit_key_order,
 )
 from vision_kit_tpu.models import YOLOV5, YOLOV7
 
@@ -196,3 +201,154 @@ def test_partial_load_shape_checked(tmp_path):
     h = merged["params"]["head"]["m_0"]["kernel"]
     h7 = v7["params"]["head"]["m_0"]["kernel"]
     np.testing.assert_array_equal(np.asarray(h), np.asarray(h7))
+
+
+# ---------------------------------------------------------------------------
+# Upstream (ultralytics / WongKinYiu) positional import
+# ---------------------------------------------------------------------------
+
+def _ref_and_template(family, variant):
+    from conftest import reset_reference_defaults
+
+    if family == "v5":
+        from vision_kit.models.architectures.yolov5 import YOLOV5 as Ref
+
+        reset_reference_defaults()
+        ref = Ref(variant=variant)
+        jm = YOLOV5(variant=variant)
+    else:
+        from vision_kit.models.architectures.yolov7 import YOLOV7 as Ref
+
+        reset_reference_defaults()
+        ref = Ref(variant=variant, deploy=False)
+        reset_reference_defaults()
+        jm = YOLOV7(variant=variant, deploy=False)
+    template = jm.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                       training=False)
+    return ref, jm, template
+
+
+@pytest.mark.parametrize("family,variant", [
+    ("v5", "n"), ("v5", "s"), ("v5", "m"), ("v5", "l"), ("v5", "x"),
+    ("v7", "base"), ("v7", "x"),
+])
+def test_vision_kit_key_order_matches_reference(reference, family, variant):
+    """The offline key-order reconstruction is byte-identical to the
+    reference torch model's state_dict().keys() for every zoo variant —
+    the invariant the positional upstream zip-map rests on (reference
+    scripts/convert.py:22-23,50-51 relies on declaration order alone)."""
+    ref, _, template = _ref_and_template(family, variant)
+    assert vision_kit_key_order(template) == list(ref.state_dict().keys())
+
+
+def test_upstream_import_positional_zipmap(reference, tmp_path):
+    """Synthesized upstream-shaped checkpoint (reference v5n state_dict with
+    opaque renamed keys, order preserved, anchors buffers inserted — the
+    shape torch.hub's ultralytics model yields): --from-upstream machinery
+    reproduces the structural conversion exactly, and the jax forward on the
+    imported weights matches the reference torch forward."""
+    import torch
+    from conftest import reset_reference_defaults
+
+    ref, _, template = _ref_and_template("v5", "n")
+    ref_sd = ref.state_dict()
+
+    # upstream-shaped: ultralytics-style names, SAME order, fp16 values
+    # (upstream releases save half), plus the anchors buffer the reference
+    # pops (convert.py:20) spliced in mid-stream
+    up = {}
+    for i, (k, v) in enumerate(ref_sd.items()):
+        if i == len(ref_sd) - 6:  # before the head convs, like module 24
+            up["model.model.24.anchors"] = torch.zeros(3, 3, 2)
+            up["model.model.24.anchor_grid"] = torch.zeros(3, 1, 3, 1, 1, 2)
+        up[f"model.model.{i}.u{i}"] = (
+            v.half() if torch.is_floating_point(v) else v
+        )
+    path = str(tmp_path / "upstream.pt")
+    torch.save({"model": up}, path)
+
+    sd = upstream_to_vision_kit(load_upstream_checkpoint(path), template)
+    got = torch_to_flax(sd, template=template, strict=True)
+
+    # identical to converting the reference state_dict directly (modulo the
+    # fp16 save, mirrored on the direct path)
+    want = torch_to_flax({k: (v.half().float() if torch.is_floating_point(v)
+                              else v).numpy() for k, v in ref_sd.items()},
+                         template=template, strict=True)
+    for a, b in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # and the imported weights drive a forward that matches the reference
+    # torch model carrying the same (fp16-rounded) values
+    reset_reference_defaults()
+    jax_model = YOLOV5(variant="n", decode_order="reference")
+    ref.load_state_dict({k: (v.half().float() if torch.is_floating_point(v)
+                             else v) for k, v in ref_sd.items()}, strict=True)
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0, 1, size=(1, 128, 128, 3)).astype(np.float32)
+    ref.eval()
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    got_out = jax_model.apply(got, jnp.asarray(x), training=False)
+    np.testing.assert_allclose(
+        np.asarray(got_out[0]), ref_out[0].numpy(), rtol=1e-3, atol=5e-3
+    )
+
+
+def test_upstream_count_mismatch_raises(reference):
+    """A wrong-variant upstream checkpoint fails loudly with the unmatched
+    keys named, never silently mis-mapping positionally. (A depth mismatch
+    — e.g. m vs n — trips the count check here; a same-depth width mismatch
+    — s vs n — zips positionally and is caught by torch_to_flax's per-leaf
+    shape check instead.)"""
+    import torch
+
+    ref_m, _, _ = _ref_and_template("v5", "m")
+    _, _, template_n = _ref_and_template("v5", "n")
+    up = {f"model.model.{i}.u{i}": v.numpy()
+          for i, (k, v) in enumerate(ref_m.state_dict().items())}
+    with pytest.raises(ValueError, match="wrong variant"):
+        upstream_to_vision_kit(up, template_n)
+
+    # same-depth width mismatch: zip succeeds, strict shape check catches it
+    ref_s, _, _ = _ref_and_template("v5", "s")
+    up_s = {f"model.model.{i}.u{i}": v.numpy()
+            for i, (k, v) in enumerate(ref_s.state_dict().items())}
+    sd = upstream_to_vision_kit(up_s, template_n)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        torch_to_flax(sd, template=template_n, strict=True)
+
+
+@pytest.mark.slow
+def test_convert_cli_from_upstream(reference, tmp_path):
+    """CLI e2e: `convert.py --from-upstream` on a local upstream-shaped .pt
+    writes a msgpack equal to the direct structural conversion."""
+    import subprocess
+    import sys as _sys
+
+    import torch
+    from flax import serialization
+
+    ref, jm, template = _ref_and_template("v5", "n")
+    ref_sd = ref.state_dict()
+    up = {f"model.model.{i}.u{i}": v for i, (k, v) in enumerate(ref_sd.items())}
+    up["model.model.24.anchors"] = torch.zeros(3, 3, 2)
+    path = str(tmp_path / "upstream.pt")
+    torch.save(up, path)  # raw state_dict shape (no wrapper dict)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "w.msgpack")
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "scripts/convert.py"), path,
+         "-m", "yolov5", "-v", "n", "--from-upstream", "-o", out],
+        env=dict(os.environ, JAX_PLATFORMS="cpu"), capture_output=True,
+        text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    with open(out, "rb") as f:
+        got = serialization.from_bytes(template, f.read())
+    want = torch_to_flax(ref_sd, template=template, strict=True)
+    for a, b in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -247,8 +247,162 @@ def flax_to_torch(variables: Mapping[str, Any], half: bool = False) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Upstream (ultralytics / WongKinYiu) checkpoint import
+# ---------------------------------------------------------------------------
+
+_CONV_M_CHILD = re.compile(r"^(conv|m_)(\d+)$")
+_HEAD_CHILD = re.compile(r"^(m|ia|im)_(\d+)$")
+
+
+def _declaration_order(names: list[str]) -> list[str]:
+    """Child-module emission order for `vision_kit_key_order`.
+
+    Flax params-dict insertion order is forward-CALL order; torch state_dict
+    order is __init__ REGISTRATION order. They differ in exactly three
+    reference blocks, where forward interleaves the declared modules:
+      * C3Bottleneck declares conv1, conv2, conv3, m (bottlenecks.py:41-57)
+        but forward uses m between conv1 and conv3;
+      * SPPCSPC declares conv1..conv7 in numeric order (blocks.py:205-236)
+        but forward consumes them out of order;
+      * YoloV7Head declares the m conv list before ia/im (heads/yolov7.py:
+        46-58) while forward applies ia -> m -> im.
+    When a node's children all match one of those shapes, reorder to the
+    declaration order; everything else keeps insertion order.
+    """
+    if names and all(_CONV_M_CHILD.match(n) for n in names):
+        return sorted(
+            names,
+            key=lambda n: (0 if n.startswith("conv") else 1,
+                           int(_CONV_M_CHILD.match(n).group(2))),
+        )
+    if names and all(_HEAD_CHILD.match(n) for n in names):
+        rank = {"m": 0, "ia": 1, "im": 2}
+        return sorted(
+            names,
+            key=lambda n: (rank[_HEAD_CHILD.match(n).group(1)],
+                           int(_HEAD_CHILD.match(n).group(2))),
+        )
+    return names
+
+
+def vision_kit_key_order(variables: Mapping[str, Any]) -> list[str]:
+    """Reconstruct the reference torch model's state_dict key ORDER from the
+    flax init template alone (no torch, no reference package).
+
+    torch emits, per module in registration order: parameters (weight before
+    bias), then buffers (running_mean, running_var, num_batches_tracked),
+    then children recursively. Test-pinned byte-identical to
+    `vision_kit.models.*.state_dict().keys()` for every zoo variant
+    (tests/test_convert.py) — this is what makes the reference's positional
+    upstream zip-map (scripts/convert.py:22-23,50-51) reproducible offline.
+    """
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    keys: list[str] = []
+
+    def emit(pnode, snode, prefix):
+        if "kernel" in pnode:
+            keys.append(".".join(prefix + ["weight"]))
+        if "scale" in pnode:  # BN gamma
+            keys.append(".".join(prefix + ["weight"]))
+        if "bias" in pnode:
+            keys.append(".".join(prefix + ["bias"]))
+        if "implicit" in pnode:
+            keys.append(".".join(prefix + ["implicit"]))
+        if isinstance(snode, Mapping) and "mean" in snode:
+            keys.append(".".join(prefix + ["running_mean"]))
+            keys.append(".".join(prefix + ["running_var"]))
+            keys.append(".".join(prefix + ["num_batches_tracked"]))
+
+    def walk(pnode, snode, prefix):
+        siblings = set(pnode.keys())
+        if any(not isinstance(v, Mapping) for v in pnode.values()):
+            emit(pnode, snode, prefix)
+        children = [n for n in pnode if isinstance(pnode[n], Mapping)]
+        for name in _declaration_order(children):
+            sc = snode.get(name, {}) if isinstance(snode, Mapping) else {}
+            walk(pnode[name], sc, prefix + _untranslate_name(name, siblings))
+
+    walk(params, stats, [])
+    return keys
+
+
+def upstream_to_vision_kit(
+    upstream_sd: Mapping[str, Any], template: Mapping[str, Any]
+) -> dict:
+    """Positional zip-map of an upstream (ultralytics YOLOv5 / WongKinYiu
+    YOLOv7) state_dict onto vision_kit-format keys — the reference's
+    model-zoo import (scripts/convert.py:9-54), for LOCAL files instead of
+    torch.hub.
+
+    The correspondence relies on module declaration order alone (both
+    architectures are ports of the upstream ones, module for module): the
+    upstream `anchors`/`anchor_grid` buffers are dropped (reference
+    convert.py:20,44-48), then upstream values are zipped onto this
+    package's reconstructed vision_kit key order. Tensor counts must match
+    exactly — a mismatch (wrong variant, wrong family, extra buffers) is a
+    hard error naming the leftovers, not a silent mis-map. Feed the result
+    to `torch_to_flax(..., template=..., strict=True)`, which shape-checks
+    every leaf.
+    """
+    dropped_suffixes = (".anchors", ".anchor_grid")
+    up_items = [
+        (k, v) for k, v in upstream_sd.items()
+        if not k.endswith(dropped_suffixes)
+    ]
+    vk_keys = vision_kit_key_order(template)
+    if len(up_items) != len(vk_keys):
+        up_tail = [k for k, _ in up_items[len(vk_keys):]][:5]
+        vk_tail = vk_keys[len(up_items):][:5]
+        raise ValueError(
+            f"upstream checkpoint has {len(up_items)} tensors but the model "
+            f"expects {len(vk_keys)} — wrong variant/family? "
+            f"(unmatched upstream: {up_tail or 'none'}, "
+            f"unmatched model: {vk_tail or 'none'})"
+        )
+    return {new: val for new, (_, val) in zip(vk_keys, up_items)}
+
+
+# ---------------------------------------------------------------------------
 # Checkpoint loading
 # ---------------------------------------------------------------------------
+
+def load_upstream_checkpoint(path: str) -> dict:
+    """Load a local upstream `.pt` (ultralytics YOLOv5 / WongKinYiu YOLOv7)
+    into an ORDER-PRESERVING flat numpy state_dict for the positional
+    zip-map (`upstream_to_vision_kit`).
+
+    Accepts the shapes upstream releases come in: a raw state_dict, a
+    checkpoint dict carrying one under "model"/"ema"/"state_dict", or a
+    pickled nn.Module under those keys (the torch.hub shape the reference
+    feeds, scripts/convert.py:17,39 — unpickling a Module needs the
+    upstream package importable; a plain state_dict does not). Unlike
+    `load_torch_checkpoint` this does NOT strip prefixes or merge EMA keys
+    — any re-keying would scramble the declaration order the zip-map
+    relies on.
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict):
+        for key in ("ema", "model", "state_dict"):
+            inner = obj.get(key)
+            if inner is not None and (isinstance(inner, dict)
+                                      or hasattr(inner, "state_dict")):
+                obj = inner
+                break
+    if hasattr(obj, "state_dict") and not isinstance(obj, dict):
+        obj = obj.state_dict()
+    if not isinstance(obj, dict):
+        raise ValueError(f"{path}: no state_dict found in checkpoint")
+    out = {}
+    for k, v in obj.items():
+        if hasattr(v, "detach"):
+            out[k] = v.detach().float().cpu().numpy()
+    if not out:
+        raise ValueError(f"{path}: checkpoint contains no tensors")
+    return out
+
 
 def load_torch_checkpoint(path: str) -> dict:
     """Load a .pt/.ckpt file into a flat numpy state_dict (handles the
