@@ -88,48 +88,8 @@ def rng():
 # parity differential and the eval/serving exactness regressions.
 # ---------------------------------------------------------------------------
 
-def build_rectangle_dataset(root):
-    """12 solid-rectangle images (1-3 boxes each, class = color), YOLO
-    layout, deterministic. Multi-box images matter: the trained weights
-    feed the crowded-NMS parity differential (tests/test_trained_parity.py)
-    and a model that never saw two objects in one image detects poorly on
-    crowded scenes."""
-    import cv2
-
-    rng = np.random.default_rng(3)
-    for split in ("train", "val"):
-        os.makedirs(f"{root}/images/{split}", exist_ok=True)
-        os.makedirs(f"{root}/labels/{split}", exist_ok=True)
-    for i in range(12):
-        img = np.full((64, 64, 3), 60, np.uint8)
-        lines, placed = [], []
-        want = 1 + i % 3
-        for _ in range(40):  # rejection sampling until `want` boxes fit
-            if len(lines) == want:
-                break
-            w, h = int(rng.integers(16, 35)), int(rng.integers(16, 35))
-            x, y = int(rng.integers(0, 63 - w)), int(rng.integers(0, 63 - h))
-            ok = True
-            for (px, py, pw, ph) in placed:
-                ix = max(0, min(x + w, px + pw) - max(x, px))
-                iy = max(0, min(y + h, py + ph) - max(y, py))
-                inter = ix * iy
-                if (inter / (w * h + pw * ph - inter) > 0.2
-                        or inter / (pw * ph) > 0.3):
-                    ok = False
-                    break
-            if not ok:
-                continue
-            c = int(rng.integers(0, 2))
-            color = (0, 0, 255) if c == 0 else (0, 255, 0)
-            cv2.rectangle(img, (x, y), (x + w, y + h), color, -1)
-            lines.append(f"{c} {(x + w / 2) / 64:.6f} {(y + h / 2) / 64:.6f} "
-                         f"{w / 64:.6f} {h / 64:.6f}")
-            placed.append((x, y, w, h))
-        for split in ("train", "val"):
-            cv2.imwrite(f"{root}/images/{split}/im{i}.jpg", img)
-            with open(f"{root}/labels/{split}/im{i}.txt", "w") as f:
-                f.write("\n".join(lines))
+# dataset builder + trained-v7 recipe shared with tools/train_v7_fixture.py
+from fixture_lib import build_rectangle_dataset  # noqa: E402,F401
 
 
 @pytest.fixture(scope="session")
@@ -184,3 +144,64 @@ def trained_v5n(tmp_path_factory):
         tr.train_loader.close()
     return {"variables": variables, "result": result, "img_size": 64,
             "class_labels": ["red", "green"]}
+
+
+# ---------------------------------------------------------------------------
+# Trained-v7 fixtures (round 4, VERDICT r3 #1): v7-base@64 trained with
+# SimOTA (and a plain-YoloLoss twin for the end-metric comparison). v7-base
+# fwd+bwd costs ~15 s/step on this single-core host, so unlike trained_v5n
+# these are produced ONCE and disk-cached (.test_cache/, gitignored):
+#   1. load the cache when the recipe hash matches;
+#   2. else run tools/train_v7_fixture.py in a subprocess WITHOUT the
+#      forced-CPU env — on a healthy tunnel the TPU trains it in minutes;
+#   3. else train in-process on CPU (hours; last resort, same recipe).
+# The convergence gate itself (mAP@.5 >= 0.8) is recomputed on CPU by the
+# consuming test, so cached weights are evidence, not trust.
+# ---------------------------------------------------------------------------
+
+def _trained_v7_impl(tmp_path_factory, loss_ota: int):
+    import subprocess
+
+    import fixture_lib as fl
+
+    import jax as _jax
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cached = fl.load_v7_cache(repo, loss_ota)
+    if cached is None:
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+        flag = "--ota-only" if loss_ota else "--plain-only"
+        try:
+            subprocess.run(
+                [sys.executable,
+                 os.path.join(repo, "tools/train_v7_fixture.py"), flag],
+                env=env, timeout=2700, capture_output=True,
+            )
+        except Exception:
+            pass
+        cached = fl.load_v7_cache(repo, loss_ota)
+    if cached is None:  # tunnel down/absent: CPU, same recipe
+        tmp = tmp_path_factory.mktemp(f"trained_v7_{loss_ota}")
+        variables, result, steps = fl.train_v7(str(tmp), repo, loss_ota)
+        meta = {"map50": float(result["map50"]),
+                "map50_95": float(result["map50_95"]), "steps": steps,
+                "platform": _jax.devices()[0].platform,
+                "loss_ota": int(loss_ota)}
+        fl.save_v7_cache(repo, loss_ota, variables, meta)
+        cached = fl.load_v7_cache(repo, loss_ota)
+    variables, meta = cached
+    return {"variables": variables, "meta": meta, "img_size": 64,
+            "class_labels": ["red", "green"]}
+
+
+@pytest.fixture(scope="session")
+def trained_v7(tmp_path_factory):
+    """v7-base@64 trained with SimOTA (loss_ota=1) on the rectangle set."""
+    return _trained_v7_impl(tmp_path_factory, loss_ota=1)
+
+
+@pytest.fixture(scope="session")
+def trained_v7_plain(tmp_path_factory):
+    """Same recipe with the plain dense-assigner YoloLoss (loss_ota=0)."""
+    return _trained_v7_impl(tmp_path_factory, loss_ota=0)

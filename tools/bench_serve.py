@@ -21,7 +21,13 @@ co-located hardware (PCIe/DMA) the engine ceiling is the program's ~4000
 img/s. See DESIGN.md "Measurement discipline".
 
   python tools/bench_serve.py --batch 64 --requests 1920
+  python tools/bench_serve.py --batch 64 --requests 6400 --synthetic-ingest 4
   JAX_PLATFORMS=cpu python tools/bench_serve.py --variant n --img 64 ...
+
+--synthetic-ingest K (engine mode) pre-stages K device-resident batches and
+rotates through them instead of shipping request pixels, so the pipelined
+dispatch/readback engine is measured rather than the tunnel's H2D bandwidth
+(VERDICT r3 #6: the engine ceiling was extrapolated, never observed).
 """
 
 from __future__ import annotations
@@ -37,7 +43,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build_server(variant: str, img: int, batch: int, max_wait_ms: float):
+def build_server(variant: str, img: int, batch: int, max_wait_ms: float,
+                 synthetic_ingest: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -52,19 +59,37 @@ def build_server(variant: str, img: int, batch: int, max_wait_ms: float):
     predictor = Predictor(model, variables, img_size=(img, img))
     return InferenceServer(
         predictor, batch_size=batch, max_wait_ms=max_wait_ms, port=0,
-        queue_size=4096,
+        queue_size=4096, synthetic_ingest=synthetic_ingest,
     )
 
 
+class _TimedEvent(threading.Event):
+    """Event that timestamps set() — per-request completion time is
+    captured where it happens (the completion thread), not where the
+    bench's sequential waiter observes it."""
+
+    t_set = 0.0
+
+    def set(self):
+        self.t_set = time.perf_counter()
+        super().set()
+
+
 def bench_engine(server, n_requests: int, warmup_batches: int = 4):
-    """Feed _Requests directly; measure submit->completion throughput."""
+    """Feed _Requests directly; measure submit->completion throughput and
+    per-request queue latency (submit -> completion event)."""
     from vision_kit_tpu.serve import _Request
 
     h, w = server.img_size
     img = np.random.default_rng(0).integers(0, 256, (h, w, 3), np.uint8)
 
     def make(n):
-        return [_Request(img, 1.0, (0.0, 0.0), (h, w), None) for _ in range(n)]
+        out = []
+        for _ in range(n):
+            r = _Request(img, 1.0, (0.0, 0.0), (h, w), None)
+            r.event = _TimedEvent()
+            out.append(r)
+        return out
 
     # warmup (compile + pipeline fill)
     reqs = make(warmup_batches * server.batch_size)
@@ -75,17 +100,24 @@ def bench_engine(server, n_requests: int, warmup_batches: int = 4):
         assert r.error is None, r.error
 
     reqs = make(n_requests)
+    t_submit = {}
     lat0 = time.perf_counter()
-    feeder = threading.Thread(
-        target=lambda: [server._queue.put(r) for r in reqs], daemon=True
-    )
+
+    def feed():
+        for r in reqs:
+            t_submit[id(r)] = time.perf_counter()
+            server._queue.put(r)
+
+    feeder = threading.Thread(target=feed, daemon=True)
     feeder.start()
     for r in reqs:
         assert r.event.wait(600), "request timed out"
         assert r.error is None, r.error
     wall = time.perf_counter() - lat0
     feeder.join()
-    return n_requests / wall
+    lat = sorted((r.event.t_set - t_submit[id(r)]) * 1000 for r in reqs)
+    n = len(lat)
+    return n_requests / wall, lat[n // 2], lat[int(0.99 * n)]
 
 
 def bench_http(server, n_requests: int, concurrency: int = 32):
@@ -139,7 +171,14 @@ def main():
     ap.add_argument("--requests", type=int, default=1920)
     ap.add_argument("--http", action="store_true")
     ap.add_argument("--concurrency", type=int, default=32)
+    ap.add_argument("--synthetic-ingest", type=int, default=0, metavar="K",
+                    help="engine mode only: pre-stage K device-resident "
+                    "batches and rotate through them, removing the "
+                    "per-batch H2D transfer — measures the engine itself "
+                    "rather than the tunnel bandwidth (VERDICT r3 #6)")
     args = ap.parse_args()
+    if args.http and args.synthetic_ingest:
+        ap.error("--synthetic-ingest is an --engine-mode knob")
 
     from vision_kit_tpu.utils.jax_platform import (
         honor_platform_env,
@@ -149,7 +188,8 @@ def main():
     honor_platform_env()
     setup_compilation_cache()
 
-    server = build_server(args.variant, args.img, args.batch, args.max_wait_ms)
+    server = build_server(args.variant, args.img, args.batch,
+                          args.max_wait_ms, args.synthetic_ingest)
     print(f"compiling serving program (v5{args.variant}@{args.img} "
           f"batch={args.batch}) ...", flush=True)
     t0 = time.perf_counter()
@@ -163,9 +203,11 @@ def main():
                   f"p99 {p99:.1f} ms  (decode+HTTP+engine, "
                   f"concurrency={args.concurrency})")
         else:
-            ips = bench_engine(server, args.requests)
-            print(f"engine: {ips:.1f} img/s  (batch={args.batch}, "
-                  f"pipelined dispatch/readback)")
+            ips, p50, p99 = bench_engine(server, args.requests)
+            mode = (f"synthetic device ingest K={args.synthetic_ingest}"
+                    if args.synthetic_ingest else "host ingest (H2D/batch)")
+            print(f"engine: {ips:.1f} img/s  req p50 {p50:.1f} ms  "
+                  f"p99 {p99:.1f} ms  (batch={args.batch}, {mode})")
         import jax
 
         print(f"device: {jax.devices()[0].platform}")

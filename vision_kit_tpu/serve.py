@@ -100,9 +100,23 @@ class InferenceServer:
         port: int = 8000,
         queue_size: int = 256,
         request_timeout_s: float = 60.0,
+        synthetic_ingest: int = 0,
     ):
         self.predictor = predictor
         self.labels = list(class_labels) if class_labels else None
+        # BENCHMARK-ONLY ingest mode: with synthetic_ingest=K > 0, start()
+        # pre-stages K random uint8 batches ON DEVICE and _submit_batch
+        # rotates through them instead of assembling+shipping request
+        # pixels. This measures the engine itself (queueing, batching,
+        # dispatch/readback overlap, completion) with the per-batch H2D
+        # transfer removed — over the tunneled test TPU that transfer is
+        # the ~40 MB/s bottleneck that hides the engine ceiling
+        # (tools/bench_serve.py --synthetic-ingest; VERDICT r3 #6).
+        # Request results then correspond to the synthetic pixels, so this
+        # must never be enabled on a production server.
+        self.synthetic_ingest = int(synthetic_ingest)
+        self._synth_batches = None
+        self._synth_i = 0
         self.batch_size = int(batch_size)
         self.max_wait_s = float(max_wait_ms) / 1000.0
         self.request_timeout_s = float(request_timeout_s)
@@ -144,6 +158,18 @@ class InferenceServer:
         """Compile the serving program (one compile, reused forever) and
         accept connections."""
         self._fn = self.predictor.warmup(self.img_size, self.batch_size)
+        if self.synthetic_ingest > 0:
+            import jax
+
+            h, w = self.img_size
+            rng = np.random.default_rng(0)
+            self._synth_batches = [
+                jax.device_put(rng.integers(
+                    0, 256, (self.batch_size, h, w, 3), np.uint8))
+                for _ in range(self.synthetic_ingest)
+            ]
+            for b in self._synth_batches:
+                b.block_until_ready()
         self._dispatcher.start()
         self._completer.start()
         self._serve_thread.start()
@@ -223,11 +249,17 @@ class InferenceServer:
 
         t0 = time.perf_counter()
         try:
-            h, w = self.img_size
-            imgs = np.zeros((self.batch_size, h, w, 3), np.uint8)
-            for i, r in enumerate(reqs):
-                imgs[i] = r.img
-            dev = self._fn(jnp.asarray(imgs))  # returns before completion
+            if self._synth_batches is not None:  # bench-only device ingest
+                batch = self._synth_batches[
+                    self._synth_i % len(self._synth_batches)]
+                self._synth_i += 1
+                dev = self._fn(batch)
+            else:
+                h, w = self.img_size
+                imgs = np.zeros((self.batch_size, h, w, 3), np.uint8)
+                for i, r in enumerate(reqs):
+                    imgs[i] = r.img
+                dev = self._fn(jnp.asarray(imgs))  # returns before completion
         except Exception as e:  # trace/shape errors surface immediately
             for r in reqs:
                 r.error = f"inference failed: {e}"
