@@ -1,0 +1,224 @@
+"""Full-zoo throughput + device-only latency tables (VERDICT r3 #5).
+
+For every zoo variant (v5 n/s/m/l/x, v7 base/x):
+  * streamed images/s with the bench.py protocol (scan-amortized,
+    uint8 in, fused normalize+forward+candidate-select+NMS, bf16) —
+    "matching-or-beating on perf" evidence beyond the two variants
+    measured in rounds 1-3;
+  * DEVICE-ONLY p50/p99 latency at batch 1/8/32, measured from the
+    profiler's per-module-execution events (the tunnel's ~20 ms RTT
+    dominates wall-clock, so wall-clock percentiles characterize the
+    harness, not the chip — BASELINE.md r3 weakness #3).
+
+Writes one JSON (default /tmp/bench_zoo.json) consumed by
+`tools/mfu.py --zoo` to annotate MFU, and prints a markdown table.
+
+Run alone (never concurrently with another TPU bench — CLAUDE.md).
+First run compiles ~28 programs remotely (slow); re-runs hit the cache.
+
+  python tools/bench_zoo.py                    # all variants
+  python tools/bench_zoo.py --variants v5:n,v7:base --skip-latency
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+ZOO = [("v5", v) for v in "nsmlx"] + [("v7", "base"), ("v7", "x")]
+# batch for the throughput leg: large batches amortize the fixed per-image
+# tail; the big variants halve it to bound activation memory at 640 px
+THROUGHPUT_BATCH = {"n": 128, "s": 128, "m": 128, "l": 64, "x": 64,
+                    "base": 64}
+LAT_BATCHES = (1, 8, 32)
+LAT_REPS = 30
+
+
+def build_step(family: str, variant: str):
+    import jax
+    import jax.numpy as jnp
+
+    from vision_kit_tpu.models import YOLOV5, YOLOV7
+
+    if family == "v5":
+        model = YOLOV5(variant=variant, num_classes=80, dtype=jnp.bfloat16)
+    else:
+        # deploy-fused structure — the serving shape (tools/bench_v7.py)
+        model = YOLOV7(variant=variant, num_classes=80, deploy=True,
+                       dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 640, 640, 3)), training=False
+    )
+    return model, variables
+
+
+def measure_throughput(model, family, variant, batch, chunk, iters):
+    from vision_kit_tpu.utils.stream_bench import run_detector_bench
+
+    rec = run_detector_bench(
+        model, f"{family}{variant}_640_images_per_sec", batch=batch,
+        chunk=chunk, iters=iters,
+    )
+    return rec["value"]
+
+
+def _module_exec_times_ms(trace_dir: str) -> list[float]:
+    """Per-execution device durations of the dominant XLA module in a
+    trace: group 'XLA Modules' line events by name, take the module with
+    the most executions (our jit program; autotuning one-offs lose)."""
+    from collections import defaultdict
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(
+        os.path.join(trace_dir, "plugins/profile/*/*.xplane.pb"))
+    assert paths, f"no xplane under {trace_dir}"
+    xspace = xplane_pb2.XSpace()
+    with open(sorted(paths)[-1], "rb") as f:
+        xspace.ParseFromString(f.read())
+    # prefer the TPU device plane; fall back to any device plane carrying
+    # an "XLA Modules" line (lets the parsing logic smoke-test on CPU)
+    planes = sorted(
+        xspace.planes,
+        key=lambda p: ("tpu" not in p.name.lower(), p.name),
+    )
+    for plane in planes:
+        for line in plane.lines:
+            if line.name != "XLA Modules":
+                continue
+            per = defaultdict(list)
+            ev_meta = plane.event_metadata
+            for ev in line.events:
+                per[ev_meta[ev.metadata_id].name].append(
+                    ev.duration_ps / 1e9)
+            if per:
+                name = max(per, key=lambda k: len(per[k]))
+                return per[name]
+    raise RuntimeError("no 'XLA Modules' line in any device plane")
+
+
+def measure_device_latency(model, variables, batch: int):
+    """p50/p99 device-only ms of the single-dispatch serving program
+    (uint8 batch -> dets) from LAT_REPS profiled executions."""
+    import jax
+    import jax.numpy as jnp
+
+    from vision_kit_tpu.ops.nms import postprocess_raw
+
+    anchors_px = model.anchors_px
+
+    @jax.jit
+    def step(x_u8):
+        x = x_u8.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 255.0)
+        out = model.apply(variables, x, training=False)
+        raws = out[1]
+        dets, valid = postprocess_raw(
+            raws, anchors_px, conf_thres=0.25, iou_thres=0.45,
+            max_det=300, max_cand=512, approx_topk=True,
+        )
+        return dets, valid
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(
+        rng.integers(0, 255, (batch, 640, 640, 3), dtype=np.uint8))
+    d, v = step(imgs)
+    np.asarray(d)  # compile + drain
+
+    trace_dir = tempfile.mkdtemp(prefix="vk_zoo_lat_")
+    with jax.profiler.trace(trace_dir):
+        for k in range(LAT_REPS):
+            d, v = step(imgs + np.uint8(k % 7))
+        np.asarray(d)  # drain inside the trace window
+    times = sorted(_module_exec_times_ms(trace_dir))
+    # drop the first profiled exec (cache warm/trace start jitter)
+    if len(times) > 5:
+        times = times[1:]
+    return (times[len(times) // 2],
+            times[min(len(times) - 1, int(len(times) * 0.99))])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default=None,
+                    help="comma list like v5:n,v5:s,v7:base (default all)")
+    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--skip-latency", action="store_true")
+    ap.add_argument("--skip-throughput", action="store_true")
+    ap.add_argument("--out", default="/tmp/bench_zoo.json")
+    args = ap.parse_args()
+
+    from vision_kit_tpu.utils.jax_platform import (
+        honor_platform_env,
+        setup_compilation_cache,
+    )
+
+    honor_platform_env()
+    setup_compilation_cache()
+
+    zoo = ZOO
+    if args.variants:
+        zoo = []
+        for tok in args.variants.split(","):
+            fam, var = tok.strip().split(":")
+            zoo.append((fam, var))
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    results = []
+    for family, variant in zoo:
+        model, variables = build_step(family, variant)
+        rec = {"family": family, "variant": variant}
+        if not args.skip_throughput:
+            batch = THROUGHPUT_BATCH[variant]
+            print(f"[{family}-{variant}] throughput batch={batch} ...",
+                  flush=True)
+            rec["batch"] = batch
+            rec["img_per_sec"] = measure_throughput(
+                model, family, variant, batch, args.chunk, args.iters)
+            print(f"[{family}-{variant}] {rec['img_per_sec']:.1f} img/s",
+                  flush=True)
+        if not args.skip_latency:
+            rec["latency_ms"] = {}
+            for b in LAT_BATCHES:
+                p50, p99 = measure_device_latency(model, variables, b)
+                rec["latency_ms"][str(b)] = {"p50": round(p50, 3),
+                                             "p99": round(p99, 3)}
+                print(f"[{family}-{variant}] batch {b}: device p50 "
+                      f"{p50:.2f} ms p99 {p99:.2f} ms", flush=True)
+        results.append(rec)
+
+    payload = {"platform": platform, "img": 640, "dtype": "bf16",
+               "chunk": args.chunk, "iters": args.iters, "zoo": results}
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"\nwrote {args.out}\n")
+
+    # markdown table
+    hdr = ("| variant | batch | img/s | device p50@1 | p50@8 | p50@32 | "
+           "p99@32 |")
+    print(hdr)
+    print("|---" * 7 + "|")
+    for r in results:
+        lat = r.get("latency_ms", {})
+
+        def g(b, q):
+            return (f"{lat[str(b)][q]:.2f} ms" if str(b) in lat else "-")
+
+        ips = (f"{r['img_per_sec']:.0f}" if "img_per_sec" in r else "-")
+        print(f"| {r['family']}-{r['variant']} | {r.get('batch', '-')} | "
+              f"{ips} | {g(1, 'p50')} | {g(8, 'p50')} | {g(32, 'p50')} | "
+              f"{g(32, 'p99')} |")
+
+
+if __name__ == "__main__":
+    main()
