@@ -49,10 +49,11 @@ def _flops(compiled) -> float:
     return float(ca["flops"])
 
 
-def infer_flops_per_image(batch: int, family: str = "v5") -> float:
+def infer_flops_per_image(batch: int, family: str = "v5",
+                          variant: str | None = None) -> float:
     """FLOPs/img of bench.py's streamed step (stream_bench.run_detector_bench
     protocol, minus the scan wrapper — flops scale linearly in batch).
-    family="v7" uses the tools/bench_v7.py program (v7-base, deploy-fused)."""
+    family="v7" uses the tools/bench_v7.py program (deploy-fused)."""
     import jax
     import jax.numpy as jnp
 
@@ -60,10 +61,11 @@ def infer_flops_per_image(batch: int, family: str = "v5") -> float:
     from vision_kit_tpu.ops.nms import postprocess_raw
 
     if family == "v7":
-        model = YOLOV7(variant="base", num_classes=80, deploy=True,
-                       dtype=jnp.bfloat16)
+        model = YOLOV7(variant=variant or "base", num_classes=80,
+                       deploy=True, dtype=jnp.bfloat16)
     else:
-        model = YOLOV5(variant="s", num_classes=80, dtype=jnp.bfloat16)
+        model = YOLOV5(variant=variant or "s", num_classes=80,
+                       dtype=jnp.bfloat16)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 640, 640, 3)), training=False
     )
@@ -122,6 +124,34 @@ def train_flops_per_image(batch: int) -> float:
     return _flops(compiled) / batch
 
 
+def annotate_zoo(path: str, batch: int):
+    """Per-variant MFU for a tools/bench_zoo.py JSON: FLOPs/img from the
+    CPU lowering of the exact benched program, peak denominators as in the
+    headline numbers."""
+    with open(path) as f:
+        payload = json.load(f)
+    print("| variant | batch | img/s | GFLOPs/img | TFLOP/s | MFU spec | "
+          "MFU conv-roofline |")
+    print("|---" * 7 + "|")
+    for rec in payload["zoo"]:
+        if "img_per_sec" not in rec:
+            continue
+        fpi = infer_flops_per_image(batch, family=rec["family"],
+                                    variant=rec["variant"])
+        achieved = fpi * rec["img_per_sec"]
+        rec["gflops_per_img"] = round(fpi / 1e9, 2)
+        rec["mfu_vs_spec_peak"] = round(achieved / V5E_BF16_PEAK, 4)
+        rec["mfu_vs_conv_roofline"] = round(
+            achieved / V5E_CONV_ROOFLINE, 4)
+        print(f"| {rec['family']}-{rec['variant']} | {rec.get('batch')} | "
+              f"{rec['img_per_sec']:.0f} | {fpi / 1e9:.2f} | "
+              f"{achieved / 1e12:.2f} | {achieved / V5E_BF16_PEAK:.1%} | "
+              f"{achieved / V5E_CONV_ROOFLINE:.1%} |")
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"\nannotated {path}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--infer-ips", type=float, default=3984.6,
@@ -134,9 +164,16 @@ def main():
     ap.add_argument("--v7-ips", type=float, default=None,
                     help="also compute v7-base inference MFU at this "
                          "measured img/s (tools/bench_v7.py)")
+    ap.add_argument("--zoo", default=None, metavar="BENCH_ZOO_JSON",
+                    help="annotate a tools/bench_zoo.py result file with "
+                         "per-variant MFU (writes back + prints a table)")
     args = ap.parse_args()
 
     _deregister_axon()
+
+    if args.zoo:
+        annotate_zoo(args.zoo, args.batch)
+        return
 
     rows = []
     fi = infer_flops_per_image(args.batch)

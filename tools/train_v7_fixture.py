@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--max-epochs", type=int, default=None)
     args = ap.parse_args()
 
+    import logging
+
+    logging.basicConfig(level=logging.INFO, force=True)
+    logging.getLogger("vision_kit_tpu").setLevel(logging.INFO)
+
     from vision_kit_tpu.utils.jax_platform import (
         honor_platform_env,
         setup_compilation_cache,
