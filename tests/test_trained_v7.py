@@ -179,14 +179,19 @@ def test_trained_v7_deploy_fold_parity(reference, trained_v7):
     rng = np.random.default_rng(21)
     x = jnp.asarray(rng.uniform(0, 1, (2, IMG, IMG, 3)).astype(np.float32))
 
-    model = YOLOV7(variant="base", num_classes=NC, deploy=False)
+    # decode_order="reference" (anchor-major): the second assert compares
+    # decoded rows elementwise against the reference's output, whose
+    # candidate order differs from our native NHWC decode order
+    model = YOLOV7(variant="base", num_classes=NC, deploy=False,
+                   decode_order="reference")
     ref_decoded, _ = jax.jit(
         lambda v, x: model.apply(v, x, training=False)
     )(variables, x)
 
     fused = fuse_repconv_params(variables)
     fused = reparameterize_v7(fused, num_classes=NC)
-    deploy_model = YOLOV7(variant="base", num_classes=NC, deploy=True)
+    deploy_model = YOLOV7(variant="base", num_classes=NC, deploy=True,
+                          decode_order="reference")
     got_decoded, _ = jax.jit(
         lambda v, x: deploy_model.apply(v, x, training=False)
     )(fused, x)
