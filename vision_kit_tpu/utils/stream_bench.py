@@ -14,32 +14,40 @@ from __future__ import annotations
 import time
 
 
-def measure_streaming(step_fn, images_u8, chunk: int, iters: int) -> float:
-    """Measure images/sec of `step_fn(images_u8) -> int32 scalar`.
+def measure_streaming(step_fn, images_u8, chunk: int, iters: int,
+                      params=None) -> float:
+    """Measure images/sec of `step_fn(images_u8) -> int32 scalar` (or
+    `step_fn(params, images_u8)` when `params` is given).
 
     step_fn must consume a uint8 image batch and return a small scalar that
     depends on its full computation (the completion token). The harness
     adds the per-step perturbation, the scan, warmup, and the readback.
     Returns images per second.
+
+    Pass model weights via `params`, NOT closed over in step_fn: closure
+    constants are serialized as literals inside the unoptimized HLO, and
+    the remote-compile tunnel rejects requests past ~300 MB (v5x fp32
+    params alone exceed it — HTTP 413).
     """
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def stream(imgs, acc0):
+    def stream(params, imgs, acc0):
         def body(carry, k):
             x = imgs + k.astype(jnp.uint8)   # content differs per step
-            return carry + step_fn(x), ()
+            out = step_fn(x) if params is None else step_fn(params, x)
+            return carry + out, ()
 
         acc, _ = jax.lax.scan(body, acc0, jnp.arange(chunk, dtype=jnp.int32))
         return acc
 
-    acc = stream(images_u8, jnp.zeros((), jnp.int32))
+    acc = stream(params, images_u8, jnp.zeros((), jnp.int32))
     _ = int(acc)  # compile + warm
     t0 = time.perf_counter()
     acc = jnp.zeros((), jnp.int32)
     for _ in range(iters):
-        acc = stream(images_u8, acc)
+        acc = stream(params, images_u8, acc)
     _ = int(acc)  # single readback; waits for every dispatched program
     dt = time.perf_counter() - t0
     return images_u8.shape[0] * chunk * iters / dt
@@ -63,7 +71,7 @@ def run_detector_bench(model, metric: str, batch: int, chunk: int,
     )
     anchors_px = model.anchors_px
 
-    def step(x_u8):
+    def step(variables, x_u8):
         # uint8 goes straight into the model; the stem normalizes internally
         # (models/layers.py ConvBnAct) — bit-identical to caller-side
         # normalize, one fewer elementwise pass
@@ -80,7 +88,7 @@ def run_detector_bench(model, metric: str, batch: int, chunk: int,
     images = jnp.asarray(
         rng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8)
     )
-    ips = measure_streaming(step, images, chunk, iters)
+    ips = measure_streaming(step, images, chunk, iters, params=variables)
     record = {"metric": metric, "value": round(ips, 2), "unit": "img/s"}
     if target:
         record["vs_baseline"] = round(ips / target, 3)
