@@ -80,10 +80,10 @@ def gather_onehot_bwd(pred, lin):
         return jax.vmap(lambda p, i: jnp.take(p, i, axis=0))(pred, lin)
 
     def fwd(pred, lin):
-        return g(pred, lin), (lin, pred.dtype)
+        return g(pred, lin), lin
 
-    def bwd(res, ct):
-        lin, dtype = res
+    def bwd(lin, ct):
+        dtype = ct.dtype
 
         def one_image(args):
             idx, ctg = args                       # (C,), (C, NO)
@@ -110,10 +110,10 @@ def gather_sorted_bwd(pred, lin):
         return jax.vmap(lambda p, i: jnp.take(p, i, axis=0))(pred, lin)
 
     def fwd(pred, lin):
-        return g(pred, lin), (lin, pred.dtype)
+        return g(pred, lin), lin
 
-    def bwd(res, ct):
-        lin, dtype = res
+    def bwd(lin, ct):
+        dtype = ct.dtype
 
         def one_image(args):
             idx, ctg = args
