@@ -68,8 +68,11 @@ def grid_save(images: np.ndarray, targets, path: str, max_images: int = 16):
             img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
         # Always copy: ascontiguousarray on an already-contiguous slice is a
         # view, and cv2.rectangle below would deface the caller's batch (the
-        # trainer draws the grid BEFORE the batch is evaluated).
-        img = np.array(img, copy=True)
+        # trainer draws the grid BEFORE the batch is evaluated). order="C",
+        # not the default "K": arrays converted from jax carry XLA's layout
+        # (e.g. channel-major strides), astype/copy preserve it, and
+        # OpenCV >= 5 rejects non-C-contiguous destinations.
+        img = np.array(img, copy=True, order="C")
         t = np.asarray(targets[i])
         t = t[t[:, 0] >= 0]
         for row in t:
