@@ -1,0 +1,229 @@
+"""640-px full-pipeline mAP differential on REAL-SCALE trained weights
+(VERDICT r3 missing #5's closest achievable proxy).
+
+Every standing repo-vs-reference pipeline differential runs at 64 px on
+2-class toy sets; the reference's pretrained COCO blob is absent from the
+environment and there is no network, so full-COCO parity cannot be run.
+This tool closes the remaining gap in the achievable direction: it takes
+the v5s/24-class/640-px weights trained by `tools/train_at_scale.py` on
+the chip, and runs the SAME eval protocol as tests/test_trained_parity.py
+— (repo model -> repo device NMS -> repo DetEvaluator) vs (flax_to_torch
+-> reference torch model -> reference nms -> reference DetEvaluator,
+`/root/reference/vision_kit/utils/image_proc.py:83-187`,
+`core/eval/det_evaluator.py:129-226`) — at the reference's native
+operating point: 640 px input, 24 classes, crowded multi-object scenes.
+
+    python tools/train_at_scale.py                # produces weights first
+    JAX_PLATFORMS=cpu python tools/diff_at_scale.py \
+        [--weights /tmp/vk_scale_ds/out/weights/<best>.msgpack] \
+        [--root /tmp/vk_scale_ds] [--images 48]
+
+fp32 both sides (the repo model is constructed fp32; bf16-vs-fp32 has its
+own pinned regression in tests/test_trained_parity.py). Single-core torch
+v5s@640 costs ~2-4 s/image — the default 48 images take ~10 min.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+import numpy as np
+
+CONF, IOU = 0.001, 0.6
+MAX_DET, MAX_CAND = 300, 2048
+
+
+def load_val_set(root: str, n: int, img: int):
+    """First n images of the at-scale val split + YOLO-format GT rows."""
+    import cv2
+
+    paths = sorted(glob.glob(os.path.join(root, "images/val/*.jpg")))[:n]
+    assert paths, f"no val images under {root} — run train_at_scale.py first"
+    images, gts = [], []
+    for p in paths:
+        im = cv2.imread(p)[:, :, ::-1]  # BGR -> RGB
+        assert im.shape[:2] == (img, img), (p, im.shape)
+        images.append(im)
+        lp = p.replace("/images/", "/labels/").rsplit(".", 1)[0] + ".txt"
+        rows = []
+        with open(lp) as f:
+            for line in f.read().splitlines():
+                c, cx, cy, w, h = line.split()
+                rows.append([float(c), float(cx), float(cy),
+                             float(w), float(h)])
+        gts.append(np.asarray(rows, np.float32))
+    return np.stack(images), gts
+
+
+def targets_batch(gts, s, b):
+    m = max(len(g) for g in gts)
+    t = np.full((b, m, 5), -1, np.float32)
+    for k in range(b):
+        t[k, : len(gts[s + k])] = gts[s + k]
+    return t
+
+
+def repo_map(variables, images, gts, classes, img, batch):
+    import jax
+    import jax.numpy as jnp
+
+    from vision_kit_tpu.models import YOLOV5
+    from vision_kit_tpu.ops.nms import postprocess
+    from vision_kit_tpu.train.evaluator import DetEvaluator
+
+    model = YOLOV5(variant="s", num_classes=len(classes))
+
+    @jax.jit
+    def step(v, x):
+        decoded, _ = model.apply(v, x, training=False)
+        return postprocess(
+            decoded, conf_thres=CONF, iou_thres=IOU, multi_label=True,
+            max_det=MAX_DET, max_cand=MAX_CAND, multi_label_top=20,
+        )
+
+    ev = DetEvaluator(classes, (img, img))
+    x_all = images.astype(np.float32) / 255.0
+    for s in range(0, len(images), batch):
+        b = min(batch, len(images) - s)
+        dets, valid = step(variables, jnp.asarray(x_all[s:s + b]))
+        infos = [(img, img, 1.0, (0.0, 0.0), s + k) for k in range(b)]
+        ev.update(np.asarray(dets), np.asarray(valid),
+                  targets_batch(gts, s, b), infos)
+    return ev.summarize()
+
+
+def reference_map(variables, images, gts, classes, img, batch):
+    import torch
+
+    from vision_kit_tpu.convert import flax_to_torch
+    from vision_kit_tpu.interop import (
+        import_vision_kit_torch,
+        install_torch_ecosystem_stubs,
+        reset_reference_defaults,
+    )
+
+    install_torch_ecosystem_stubs()
+    import_vision_kit_torch()
+    from vision_kit.core.eval.det_evaluator import DetEvaluator as RefEval
+    from vision_kit.models.architectures.yolov5 import YOLOV5 as RefV5
+    from vision_kit.utils.image_proc import nms as ref_nms
+
+    reset_reference_defaults()
+    torch_model = RefV5(variant="s", num_classes=len(classes))
+    sd = flax_to_torch(variables, half=False)
+    torch_model.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd.items()},
+        strict=True,
+    )
+    torch_model.eval()
+
+    ref_eval = RefEval(classes, (img, img))
+    x_all = images.astype(np.float32) / 255.0
+    t0 = time.monotonic()
+    for s in range(0, len(images), batch):
+        b = min(batch, len(images) - s)
+        xb = torch.from_numpy(x_all[s:s + b].transpose(0, 3, 1, 2))
+        with torch.no_grad():
+            out = torch_model(xb)
+        # per-image ref_nms: immune to its wall-clock budget on a loaded
+        # 1-core host (image_proc.py:109,183-185 silently truncates)
+        preds = [
+            ref_nms(out[0][k:k + 1], CONF, IOU, multi_label=True)[0]
+            for k in range(b)
+        ]
+        trows = []
+        for k in range(b):
+            g = gts[s + k]
+            trows.append(np.concatenate(
+                [np.full((len(g), 1), k, np.float32), g], axis=1))
+        targets = torch.from_numpy(np.concatenate(trows, 0))
+        ref_eval.evaluate(
+            img=xb, img_infos=[(img, img)] * b,
+            idxs=list(range(s, s + b)), preds=preds, targets=targets,
+        )
+        print(f"  reference {s + b}/{len(images)} "
+              f"({time.monotonic() - t0:.0f}s)", flush=True)
+    map50, map95, _, _ = ref_eval.summarize()
+    return float(map50), float(map95)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/vk_scale_ds")
+    ap.add_argument("--weights", default=None,
+                    help="msgpack EMA weights (default: best under "
+                         "<root>/out/weights)")
+    ap.add_argument("--images", type=int, default=48)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--img", type=int, default=640)
+    ap.add_argument("--out", default="/tmp/diff_at_scale.json")
+    args = ap.parse_args()
+
+    from vision_kit_tpu.utils.jax_platform import (
+        honor_platform_env,
+        setup_compilation_cache,
+    )
+
+    honor_platform_env()
+    setup_compilation_cache()
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from train_at_scale import CLASSES
+
+    weights = args.weights
+    if weights is None:
+        cands = sorted(glob.glob(
+            os.path.join(args.root, "out/weights/best-map50_*.msgpack")))
+        assert cands, "no exported weights — run train_at_scale.py first"
+        weights = cands[-1]  # highest mAP in the sorted name order
+
+    import jax
+    import jax.numpy as jnp
+
+    from vision_kit_tpu.models import YOLOV5
+    from vision_kit_tpu.predictor import load_weights
+
+    model = YOLOV5(variant="s", num_classes=len(CLASSES))
+    template = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, args.img, args.img, 3)), training=False)
+    variables = load_weights(weights, template)
+
+    images, gts = load_val_set(args.root, args.images, args.img)
+    print(f"weights: {weights}\nimages: {len(images)} @ {args.img}px, "
+          f"{len(CLASSES)} classes", flush=True)
+
+    repo = repo_map(variables, images, gts, CLASSES, args.img, args.batch)
+    print(f"repo     mAP@.5 {repo['map50']:.4f}  "
+          f"mAP@.5:.95 {repo['map50_95']:.4f}", flush=True)
+
+    ref50, ref95 = reference_map(
+        variables, images, gts, CLASSES, args.img, args.batch)
+    print(f"reference mAP@.5 {ref50:.4f}  mAP@.5:.95 {ref95:.4f}", flush=True)
+
+    payload = {
+        "weights": os.path.basename(weights), "images": int(len(images)),
+        "img": args.img, "classes": len(CLASSES),
+        "repo_map50": round(repo["map50"], 5),
+        "repo_map50_95": round(repo["map50_95"], 5),
+        "ref_map50": round(ref50, 5), "ref_map50_95": round(ref95, 5),
+        "delta_map50": round(abs(repo["map50"] - ref50), 6),
+        "delta_map50_95": round(abs(repo["map50_95"] - ref95), 6),
+    }
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()
