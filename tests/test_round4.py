@@ -1,5 +1,9 @@
 """Round-4 regression tests."""
 
+import os
+
+TOOLS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -41,3 +45,52 @@ def test_grid_save_does_not_deface_caller_batch(tmp_path):
         np.array([[[1, 0.5, 0.5, 0.4, 0.4]]], np.float32), (2, 1, 1))
     grid_save(imgs, targets, str(tmp_path / "g.jpg"))
     np.testing.assert_array_equal(imgs, before)
+
+
+def test_zoo_module_event_parser_tie_break(tmp_path):
+    """bench_zoo's trace parser must pick the DETECTOR module when a small
+    helper program executes the same number of times (regression: the
+    in-trace input-perturbation add shadowed the detector on the
+    max-by-count tie, reporting 0.01 ms 'device latency')."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, TOOLS)
+    from bench_zoo import _module_exec_times_ms
+
+    @jax.jit
+    def heavy(x):
+        for _ in range(4):
+            x = jnp.tanh(x @ x)
+        return x
+
+    @jax.jit
+    def tiny(k):
+        return k + 1
+
+    x = jnp.ones((256, 256), jnp.float32)
+    heavy(x).block_until_ready()
+    tiny(jnp.int32(0)).block_until_ready()
+    trace_dir = str(tmp_path / "trace")
+    with jax.profiler.trace(trace_dir):
+        acc = jnp.int32(0)
+        for _ in range(8):
+            y = heavy(x)
+            acc = tiny(acc)
+        y.block_until_ready()
+        acc.block_until_ready()
+    times = _module_exec_times_ms(trace_dir)
+    assert len(times) >= 8
+    # the heavy module's per-exec time dwarfs the tiny add's; if the
+    # parser picked `tiny`, the median would be ~microseconds
+    med_heavy = sorted(times)[len(times) // 2]
+    with jax.profiler.trace(str(tmp_path / "trace2")):
+        acc = jnp.int32(0)
+        for _ in range(8):
+            acc = tiny(acc)
+        acc.block_until_ready()
+    tiny_times = _module_exec_times_ms(str(tmp_path / "trace2"))
+    med_tiny = sorted(tiny_times)[len(tiny_times) // 2]
+    assert med_heavy > med_tiny * 3, (med_heavy, med_tiny)
