@@ -26,12 +26,22 @@ def test_grid_save_accepts_xla_layout_arrays(tmp_path):
     path = str(tmp_path / "grid.jpg")
     grid = grid_save(imgs, targets, path)
     assert grid.shape == (128, 128, 3)
-    import os
 
     assert os.path.getsize(path) > 0
     # boxes actually landed on the canvas (drawing didn't no-op)
     ref = (np.clip(np.asarray(imgs[0]), 0, 1) * 255).astype(np.uint8)
     assert np.abs(grid[:64, :64].astype(int) - ref.astype(int)).max() > 30
+
+    # XLA:CPU may legally hand back a row-major buffer, in which case the
+    # path above never exercises the strided-destination fix — feed a
+    # deterministically non-C-contiguous view too (ADVICE r4)
+    strided = np.moveaxis(
+        rng.random((4, 3, 64, 64), dtype=np.float32), 1, 3)
+    assert not strided.flags["C_CONTIGUOUS"]
+    grid2 = grid_save(strided, targets, str(tmp_path / "grid2.jpg"))
+    assert grid2.shape == (128, 128, 3)
+    ref2 = (np.clip(np.asarray(strided[0]), 0, 1) * 255).astype(np.uint8)
+    assert np.abs(grid2[:64, :64].astype(int) - ref2.astype(int)).max() > 30
 
 
 def test_grid_save_does_not_deface_caller_batch(tmp_path):

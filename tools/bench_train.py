@@ -1,16 +1,25 @@
 """Training-step throughput on the real chip (synthetic batch).
 
-    python tools/bench_train.py [batch] [bf16] [v7] [ota] [daug]
+    python tools/bench_train.py [batch] [bf16] [n|m|l|x] [v7] [v7x] [ota]
+                                [daug] [remat] [accum<K>]
 
-Default YOLOv5s@640 + YoloLoss; `v7` switches to YOLOv7-base, `ota` to the
-SimOTA loss (v7 only) — the pair measures the OTA assignment overhead incl.
-its anchor-major entry transpose (VERDICT.md round-1 weak #6). `daug`
-feeds a device-augmentation tiles batch (data/device_aug.py) so the delta
-vs the plain run is the in-step mosaic/mixup/HSV warp cost.
+Default YOLOv5s@640 + YoloLoss; `n|m|l|x` selects another v5 variant,
+`v7`/`v7x` switch to YOLOv7, `ota` to the SimOTA loss (v7 only) — that
+pair measures the OTA assignment overhead incl. its anchor-major entry
+transpose (VERDICT.md round-1 weak #6). `daug` feeds a
+device-augmentation tiles batch (data/device_aug.py) so the delta vs the
+plain run is the in-step mosaic/mixup/HSV warp cost. `remat` wraps the
+forward in jax.checkpoint (recompute activations in the backward — the
+HBM-pressure lever for large batches), `accum<K>` (e.g. accum2) runs the
+batch as K sequential microbatches with mean-grad semantics
+(train/step.py) — VERDICT r4 #1's remat/accum × large-batch composition.
+
+Prints a human line plus ONE JSON line for the records.
 
 Uses the device-readback completion barrier (block_until_ready is a no-op
 over the axon tunnel)."""
 
+import json
 import os
 import sys
 import time
@@ -35,17 +44,23 @@ def main():
         "box": 0.05, "cls": 0.5, "obj": 1.0, "cls_pw": 1.0, "obj_pw": 1.0,
         "anchor_t": 4.0, "label_smoothing": 0.0,
     }
-    batch = next((int(a) for a in sys.argv[1:] if a.isdigit()), 32)
+    argv = sys.argv[1:]
+    batch = next((int(a) for a in argv if a.isdigit()), 32)
     size = 640
-    dtype = jnp.bfloat16 if "bf16" in sys.argv[1:] else jnp.float32
-    use_v7 = "v7" in sys.argv[1:] or "ota" in sys.argv[1:]
-    use_ota = "ota" in sys.argv[1:]
+    dtype = jnp.bfloat16 if "bf16" in argv else jnp.float32
+    use_v7 = "v7" in argv or "v7x" in argv or "ota" in argv
+    use_ota = "ota" in argv
+    use_remat = "remat" in argv
+    accum = next((int(a[5:]) for a in argv
+                  if a.startswith("accum") and a[5:].isdigit()), 1)
     if use_v7:
-        model = YOLOV7(variant="base", num_classes=80, dtype=dtype)
-        name = "yolov7b"
+        v7_variant = "x" if "v7x" in argv else "base"
+        model = YOLOV7(variant=v7_variant, num_classes=80, dtype=dtype)
+        name = "yolov7" + ("x" if v7_variant == "x" else "b")
     else:
-        model = YOLOV5(variant="s", num_classes=80, dtype=dtype)
-        name = "yolov5s"
+        variant = next((a for a in argv if a in ("n", "m", "l", "x")), "s")
+        model = YOLOV5(variant=variant, num_classes=80, dtype=dtype)
+        name = f"yolov5{variant}"
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), training=False
     )
@@ -57,10 +72,15 @@ def main():
         name += "+ota"
     else:
         loss = YoloLoss(80, model.grid_anchors, hyp)
-    use_daug = "daug" in sys.argv[1:]
+    use_daug = "daug" in argv
     state = create_train_state(variables, tx)
     step = make_train_step(model, loss, tx, donate=False,
-                           device_aug=use_daug)
+                           device_aug=use_daug, remat=use_remat,
+                           accum_steps=accum)
+    if use_remat:
+        name += "+remat"
+    if accum > 1:
+        name += f"+accum{accum}"
 
     rng = np.random.default_rng(0)
     targets = np.full((batch, 32, 5), -1, np.float32)
@@ -72,7 +92,7 @@ def main():
             P_MIX_OH, P_MIX_OW, P_MIX_W, P_SCALE, P_TX, P_TY, P_XC, P_YC,
         )
 
-        n_tiles = 4 if "nomix" in sys.argv[1:] else N_TILES
+        n_tiles = 4 if "nomix" in argv else N_TILES
         name += "+daug" + ("(nomix)" if n_tiles == 4 else "")
         tiles = rng.integers(
             0, 255, (batch, n_tiles, size, size, 3), dtype=np.uint8
@@ -118,6 +138,11 @@ def main():
     dt = time.perf_counter() - t0
     print(f"train {name}@{size} b{batch}: {dt/iters*1e3:.1f} ms/step, "
           f"{batch*iters/dt:.1f} img/s")
+    print(json.dumps({
+        "name": name, "batch": batch, "size": size,
+        "ms_per_step": round(dt / iters * 1e3, 1),
+        "img_per_sec": round(batch * iters / dt, 1),
+    }))
 
 
 if __name__ == "__main__":

@@ -85,16 +85,34 @@ def repo_map(variables, images, gts, classes, img, batch):
     @jax.jit
     def step(v, x):
         decoded, _ = model.apply(v, x, training=False)
-        return postprocess(
+        dets, valid = postprocess(
             decoded, conf_thres=CONF, iou_thres=IOU, multi_label=True,
             max_det=MAX_DET, max_cand=MAX_CAND, multi_label_top=20,
         )
+        # premise counters for the fixed-shape caps (ADVICE r4): the repo
+        # path is exact only while no image's conf-gated candidate set
+        # overflows max_cand and no anchor carries > multi_label_top
+        # above-conf classes (same premise tests/test_trained_parity.py
+        # asserts for approx_topk) — otherwise silent truncation would
+        # masquerade as a parity delta
+        cls_conf = decoded[..., 5:] * decoded[..., 4:5]
+        above = (cls_conf > CONF).sum(-1)                   # (B, N)
+        return dets, valid, above.sum(-1), above.max(-1)
 
     ev = DetEvaluator(classes, (img, img))
     x_all = images.astype(np.float32) / 255.0
     for s in range(0, len(images), batch):
         b = min(batch, len(images) - s)
-        dets, valid = step(variables, jnp.asarray(x_all[s:s + b]))
+        dets, valid, n_pairs, n_percls = step(
+            variables, jnp.asarray(x_all[s:s + b]))
+        n_pairs, n_percls = np.asarray(n_pairs), np.asarray(n_percls)
+        assert n_pairs.max() <= MAX_CAND, (
+            f"conf-gated candidates {n_pairs.max()} > max_cand {MAX_CAND} "
+            f"at image {s + int(n_pairs.argmax())} — repo caps truncate; "
+            "raise MAX_CAND")
+        assert n_percls.max() <= 20, (
+            f"{n_percls.max()} above-conf classes on one anchor > "
+            f"multi_label_top 20 at image {s + int(n_percls.argmax())}")
         infos = [(img, img, 1.0, (0.0, 0.0), s + k) for k in range(b)]
         ev.update(np.asarray(dets), np.asarray(valid),
                   targets_batch(gts, s, b), infos)
@@ -182,10 +200,13 @@ def main():
 
     weights = args.weights
     if weights is None:
-        cands = sorted(glob.glob(
-            os.path.join(args.root, "out/weights/best-map50_*.msgpack")))
+        cands = glob.glob(
+            os.path.join(args.root, "out/weights/best-map50_*.msgpack"))
         assert cands, "no exported weights — run train_at_scale.py first"
-        weights = cands[-1]  # highest mAP in the sorted name order
+        # numeric max of the mAP embedded in the name (lexicographic max is
+        # format-fragile, ADVICE r4)
+        weights = max(cands, key=lambda p: float(
+            os.path.basename(p).split("best-map50_")[1].split(".msgpack")[0]))
 
     import jax
     import jax.numpy as jnp

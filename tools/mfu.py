@@ -86,13 +86,16 @@ def infer_flops_per_image(batch: int, family: str = "v5",
     return _flops(compiled) / batch
 
 
-def train_flops_per_image(batch: int) -> float:
-    """FLOPs/img of the b64-protocol train step (tools/bench_train.py
-    construction: v5s@640 bf16 compute, YoloLoss, SGD + EMA)."""
+def train_flops_per_image(batch: int, family: str = "v5",
+                          variant: str = "s", ota: bool = False) -> float:
+    """FLOPs/img of the bench_train.py-protocol train step (@640 bf16
+    compute, YoloLoss or SimOTA, SGD + EMA). MFU numerators use the plain
+    (no remat/accum) program — the standard model-FLOPs convention: remat
+    recompute is overhead, not model work."""
     import jax
     import jax.numpy as jnp
 
-    from vision_kit_tpu.models import YOLOV5
+    from vision_kit_tpu.models import YOLOV5, YOLOV7
     from vision_kit_tpu.train.losses import YoloLoss
     from vision_kit_tpu.train.optim import make_optimizer
     from vision_kit_tpu.train.step import create_train_state, make_train_step
@@ -103,12 +106,20 @@ def train_flops_per_image(batch: int) -> float:
         "box": 0.05, "cls": 0.5, "obj": 1.0, "cls_pw": 1.0, "obj_pw": 1.0,
         "anchor_t": 4.0, "label_smoothing": 0.0,
     }
-    model = YOLOV5(variant="s", num_classes=80, dtype=jnp.bfloat16)
+    if family == "v7":
+        model = YOLOV7(variant=variant, num_classes=80, dtype=jnp.bfloat16)
+    else:
+        model = YOLOV5(variant=variant, num_classes=80, dtype=jnp.bfloat16)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 640, 640, 3)), training=False
     )
     tx = make_optimizer(variables["params"], hyp, 300, 1000)
-    loss = YoloLoss(80, model.grid_anchors, hyp)
+    if ota:
+        from vision_kit_tpu.train.ota import YoloLossOTA
+
+        loss = YoloLossOTA(80, model.grid_anchors, hyp, layout="native")
+    else:
+        loss = YoloLoss(80, model.grid_anchors, hyp)
     state = create_train_state(variables, tx)
     step = make_train_step(model, loss, tx, donate=False)
 
@@ -167,6 +178,12 @@ def main():
     ap.add_argument("--zoo", default=None, metavar="BENCH_ZOO_JSON",
                     help="annotate a tools/bench_zoo.py result file with "
                          "per-variant MFU (writes back + prints a table)")
+    ap.add_argument("--train-family", default="v5", choices=("v5", "v7"))
+    ap.add_argument("--train-variant", default="s",
+                    help="variant for the train-MFU row (v5 n/s/m/l/x, "
+                         "v7 base/x)")
+    ap.add_argument("--train-ota", action="store_true",
+                    help="train row uses the SimOTA loss program")
     args = ap.parse_args()
 
     _deregister_axon()
@@ -178,8 +195,11 @@ def main():
     rows = []
     fi = infer_flops_per_image(args.batch)
     rows.append(("inference (bench.py b128 protocol)", fi, args.infer_ips))
-    ft = train_flops_per_image(args.batch)
-    rows.append(("train step (b64 protocol)", ft, args.train_ips))
+    ft = train_flops_per_image(args.batch, family=args.train_family,
+                               variant=args.train_variant, ota=args.train_ota)
+    tname = (f"train step ({args.train_family}-{args.train_variant}"
+             f"{'+ota' if args.train_ota else ''})")
+    rows.append((tname, ft, args.train_ips))
     if args.v7_ips:
         f7 = infer_flops_per_image(args.batch, family="v7")
         rows.append(("v7-base inference (bench_v7.py b64 protocol)", f7,
