@@ -120,6 +120,75 @@ def bench_engine(server, n_requests: int, warmup_batches: int = 4):
     return n_requests / wall, lat[n // 2], lat[int(0.99 * n)]
 
 
+def bench_load_curve(server, capacity_ips: float, fracs, n_requests: int,
+                     warmup_batches: int = 4):
+    """Latency vs offered load BELOW saturation (VERDICT r4 #5).
+
+    The saturating open-loop feed measures queueing delay, not service
+    time; a deployment operates below capacity, where the dynamic batcher
+    trades batch fill against `max_wait_ms`. For each fraction of the
+    measured capacity, submissions are paced at that offered rate (10 ms
+    submission ticks — fine vs the ~100 ms batch-fill time at these rates)
+    and every request's submit -> completion latency is recorded where the
+    completion thread sets the event.
+
+    Returns [(frac, offered_ips, achieved_ips, p50_ms, p99_ms), ...].
+    """
+    from vision_kit_tpu.serve import _Request
+
+    h, w = server.img_size
+    img = np.random.default_rng(0).integers(0, 256, (h, w, 3), np.uint8)
+
+    def make(n):
+        out = []
+        for _ in range(n):
+            r = _Request(img, 1.0, (0.0, 0.0), (h, w), None)
+            r.event = _TimedEvent()
+            out.append(r)
+        return out
+
+    # warmup: compile + fill the dispatch/readback pipeline
+    reqs = make(warmup_batches * server.batch_size)
+    for r in reqs:
+        server._queue.put(r)
+    for r in reqs:
+        assert r.event.wait(600), "warmup timed out"
+        assert r.error is None, r.error
+
+    rows = []
+    for frac in fracs:
+        rate = capacity_ips * frac
+        reqs = make(n_requests)
+        t_submit = {}
+
+        def feed():
+            t0 = time.perf_counter()
+            i = 0
+            while i < len(reqs):
+                due = int((time.perf_counter() - t0) * rate) + 1
+                while i < min(due, len(reqs)):
+                    t_submit[id(reqs[i])] = time.perf_counter()
+                    server._queue.put(reqs[i])
+                    i += 1
+                time.sleep(0.01)
+
+        t0 = time.perf_counter()
+        feeder = threading.Thread(target=feed, daemon=True)
+        feeder.start()
+        for r in reqs:
+            assert r.event.wait(600), f"request timed out at frac={frac}"
+            assert r.error is None, r.error
+        wall = time.perf_counter() - t0
+        feeder.join()
+        lat = sorted((r.event.t_set - t_submit[id(r)]) * 1000 for r in reqs)
+        n = len(lat)
+        rows.append((frac, rate, n / wall, lat[n // 2], lat[int(0.99 * n)]))
+        print(f"  load {frac:.0%}: offered {rate:.1f} img/s, achieved "
+              f"{n / wall:.1f} img/s, p50 {lat[n // 2]:.1f} ms, "
+              f"p99 {lat[int(0.99 * n)]:.1f} ms", flush=True)
+    return rows
+
+
 def bench_http(server, n_requests: int, concurrency: int = 32):
     import json
     import urllib.request
@@ -176,9 +245,20 @@ def main():
                     "batches and rotate through them, removing the "
                     "per-batch H2D transfer — measures the engine itself "
                     "rather than the tunnel bandwidth (VERDICT r3 #6)")
+    ap.add_argument("--load-curve", default=None, metavar="CAPACITY_IPS",
+                    type=float,
+                    help="closed-loop latency-vs-offered-load mode: pace "
+                    "submissions at --load-fracs fractions of this "
+                    "measured capacity (the saturation number, e.g. "
+                    "861.7) and report submit->completion p50/p99 per "
+                    "point (VERDICT r4 #5)")
+    ap.add_argument("--load-fracs", default="0.25,0.5,0.75",
+                    help="comma fractions of capacity for --load-curve")
     args = ap.parse_args()
     if args.http and args.synthetic_ingest:
         ap.error("--synthetic-ingest is an --engine-mode knob")
+    if args.load_curve and args.http:
+        ap.error("--load-curve is an --engine-mode knob")
 
     from vision_kit_tpu.utils.jax_platform import (
         honor_platform_env,
@@ -202,6 +282,24 @@ def main():
             print(f"http: {ips:.1f} img/s  p50 {p50:.1f} ms  "
                   f"p99 {p99:.1f} ms  (decode+HTTP+engine, "
                   f"concurrency={args.concurrency})")
+        elif args.load_curve:
+            fracs = [float(x) for x in args.load_fracs.split(",")]
+            rows = bench_load_curve(server, args.load_curve, fracs,
+                                    args.requests)
+            import json as _json
+
+            print(_json.dumps({
+                "mode": "load_curve", "batch": args.batch,
+                "max_wait_ms": args.max_wait_ms,
+                "capacity_ips": args.load_curve,
+                "synthetic_ingest": args.synthetic_ingest,
+                "points": [
+                    {"frac": f, "offered_ips": round(o, 1),
+                     "achieved_ips": round(a, 1), "p50_ms": round(p50, 1),
+                     "p99_ms": round(p99, 1)}
+                    for f, o, a, p50, p99 in rows
+                ],
+            }))
         else:
             ips, p50, p99 = bench_engine(server, args.requests)
             mode = (f"synthetic device ingest K={args.synthetic_ingest}"

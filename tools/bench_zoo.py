@@ -165,6 +165,10 @@ def main():
                     help="comma list like v5:n,v5:s,v7:base (default all)")
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override THROUGHPUT_BATCH for every selected "
+                         "variant (VERDICT r4 #4: the small-variant "
+                         "b256/b512 tail-amortization sweep)")
     ap.add_argument("--skip-latency", action="store_true")
     ap.add_argument("--skip-throughput", action="store_true")
     ap.add_argument("--out", default="/tmp/bench_zoo.json")
@@ -193,7 +197,7 @@ def main():
         model, variables = build_step(family, variant)
         rec = {"family": family, "variant": variant}
         if not args.skip_throughput:
-            batch = THROUGHPUT_BATCH[variant]
+            batch = args.batch or THROUGHPUT_BATCH[variant]
             print(f"[{family}-{variant}] throughput batch={batch} ...",
                   flush=True)
             rec["batch"] = batch

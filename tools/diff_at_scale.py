@@ -72,15 +72,22 @@ def targets_batch(gts, s, b):
     return t
 
 
-def repo_map(variables, images, gts, classes, img, batch):
+def _repo_model(family: str, n_classes: int):
+    from vision_kit_tpu.models import YOLOV5, YOLOV7
+
+    if family == "v7":
+        return YOLOV7(variant="base", num_classes=n_classes)
+    return YOLOV5(variant="s", num_classes=n_classes)
+
+
+def repo_map(variables, images, gts, classes, img, batch, family="v5"):
     import jax
     import jax.numpy as jnp
 
-    from vision_kit_tpu.models import YOLOV5
     from vision_kit_tpu.ops.nms import postprocess
     from vision_kit_tpu.train.evaluator import DetEvaluator
 
-    model = YOLOV5(variant="s", num_classes=len(classes))
+    model = _repo_model(family, len(classes))
 
     @jax.jit
     def step(v, x):
@@ -119,7 +126,7 @@ def repo_map(variables, images, gts, classes, img, batch):
     return ev.summarize()
 
 
-def reference_map(variables, images, gts, classes, img, batch):
+def reference_map(variables, images, gts, classes, img, batch, family="v5"):
     import torch
 
     from vision_kit_tpu.convert import flax_to_torch
@@ -132,11 +139,17 @@ def reference_map(variables, images, gts, classes, img, batch):
     install_torch_ecosystem_stubs()
     import_vision_kit_torch()
     from vision_kit.core.eval.det_evaluator import DetEvaluator as RefEval
-    from vision_kit.models.architectures.yolov5 import YOLOV5 as RefV5
     from vision_kit.utils.image_proc import nms as ref_nms
 
     reset_reference_defaults()
-    torch_model = RefV5(variant="s", num_classes=len(classes))
+    if family == "v7":
+        from vision_kit.models.architectures.yolov7 import YOLOV7 as RefV7
+
+        torch_model = RefV7(variant="base", num_classes=len(classes))
+    else:
+        from vision_kit.models.architectures.yolov5 import YOLOV5 as RefV5
+
+        torch_model = RefV5(variant="s", num_classes=len(classes))
     sd = flax_to_torch(variables, half=False)
     torch_model.load_state_dict(
         {k: torch.from_numpy(np.ascontiguousarray(v))
@@ -184,6 +197,9 @@ def main():
     ap.add_argument("--images", type=int, default=48)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--img", type=int, default=640)
+    ap.add_argument("--family", default="v5", choices=("v5", "v7"),
+                    help="v7 compares YOLOv7-base on the weights trained "
+                         "by train_at_scale.py --v7 (VERDICT r4 #3)")
     ap.add_argument("--out", default="/tmp/diff_at_scale.json")
     args = ap.parse_args()
 
@@ -200,8 +216,9 @@ def main():
 
     weights = args.weights
     if weights is None:
-        cands = glob.glob(
-            os.path.join(args.root, "out/weights/best-map50_*.msgpack"))
+        out_sub = "out_v7" if args.family == "v7" else "out"
+        cands = glob.glob(os.path.join(
+            args.root, out_sub, "weights/best-map50_*.msgpack"))
         assert cands, "no exported weights — run train_at_scale.py first"
         # numeric max of the mAP embedded in the name (lexicographic max is
         # format-fragile, ADVICE r4)
@@ -211,10 +228,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from vision_kit_tpu.models import YOLOV5
     from vision_kit_tpu.predictor import load_weights
 
-    model = YOLOV5(variant="s", num_classes=len(CLASSES))
+    model = _repo_model(args.family, len(CLASSES))
     template = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, args.img, args.img, 3)), training=False)
@@ -224,15 +240,18 @@ def main():
     print(f"weights: {weights}\nimages: {len(images)} @ {args.img}px, "
           f"{len(CLASSES)} classes", flush=True)
 
-    repo = repo_map(variables, images, gts, CLASSES, args.img, args.batch)
+    repo = repo_map(variables, images, gts, CLASSES, args.img, args.batch,
+                    family=args.family)
     print(f"repo     mAP@.5 {repo['map50']:.4f}  "
           f"mAP@.5:.95 {repo['map50_95']:.4f}", flush=True)
 
     ref50, ref95 = reference_map(
-        variables, images, gts, CLASSES, args.img, args.batch)
+        variables, images, gts, CLASSES, args.img, args.batch,
+        family=args.family)
     print(f"reference mAP@.5 {ref50:.4f}  mAP@.5:.95 {ref95:.4f}", flush=True)
 
     payload = {
+        "family": args.family,
         "weights": os.path.basename(weights), "images": int(len(images)),
         "img": args.img, "classes": len(CLASSES),
         "repo_map50": round(repo["map50"], 5),

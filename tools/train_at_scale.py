@@ -146,8 +146,15 @@ def main():
     ap.add_argument("--workers", type=int, default=2)
     ap.add_argument("--no-device-aug", action="store_true")
     ap.add_argument("--no-cache", action="store_true")
+    ap.add_argument("--v7", action="store_true",
+                    help="YOLOv7-base instead of v5s (VERDICT r4 #3)")
+    ap.add_argument("--ota", action="store_true",
+                    help="SimOTA loss (hypermeters.loss_ota: 1; implies "
+                         "--v7)")
     ap.add_argument("--out", default="/tmp/train_at_scale.json")
     args = ap.parse_args()
+    if args.ota:
+        args.v7 = True
 
     from vision_kit_tpu.utils.jax_platform import (
         honor_platform_env,
@@ -169,10 +176,14 @@ def main():
     from vision_kit_tpu.utils.general import update_loss_cfg
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(args.root, "out")
-    cfg = yaml.safe_load(open(os.path.join(repo, "configs/yolov5.yaml")))
-    cfg["model"].update(version="s", num_classes=len(CLASSES),
+    out_dir = os.path.join(args.root, "out" + ("_v7" if args.v7 else ""))
+    cfg_name = "yolov7.yaml" if args.v7 else "yolov5.yaml"
+    cfg = yaml.safe_load(open(os.path.join(repo, "configs", cfg_name)))
+    cfg["model"].update(version="base" if args.v7 else "s",
+                        num_classes=len(CLASSES),
                         input_size=[args.img, args.img], weight="")
+    if args.ota:
+        cfg["hypermeters"]["loss_ota"] = 1
     cfg["data"].update(
         data_format="yolo", data_dir=args.root, output_dir=out_dir,
         train_path="images/train", val_path="images/val",
@@ -215,6 +226,8 @@ def main():
         [ips for (_, _, _, ips) in curve.epochs]
     payload = {
         "platform": jax.devices()[0].platform,
+        "model": ("yolov7-base" if args.v7 else "yolov5-s")
+                 + ("+ota" if args.ota else ""),
         "images": args.images, "classes": len(CLASSES), "img": args.img,
         "batch": args.batch, "epochs_run": n_epochs_run,
         "device_aug": not args.no_device_aug,
