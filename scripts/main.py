@@ -88,7 +88,9 @@ def main(cfg, opt):
 
         save_dir = os.path.join(cfg.data.output_dir, "weights")
         onnx = True if getattr(opt, "onnx", False) else "auto"
-        result = run_export(cfg, variables, save_dir, onnx=onnx)
+        ts = True if getattr(opt, "torchscript", False) else "auto"
+        result = run_export(cfg, variables, save_dir, onnx=onnx,
+                            torchscript=ts)
         for kind, path in result.artifacts.items():
             delta = result.checks.get(
                 kind, result.checks.get(f"{kind}_torch_forward"))
@@ -113,6 +115,10 @@ if __name__ == "__main__":
                         help="export task: require the checked ONNX "
                              "artifact (fails if the torch package is "
                              "unavailable; default: export when available)")
+    parser.add_argument("--torchscript", action="store_true",
+                        help="export task: require the checked TorchScript "
+                             "trace (reference base_trainer.py:49-79; "
+                             "default: export when available)")
     opt = parser.parse_args()
 
     import numpy as np

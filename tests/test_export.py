@@ -423,9 +423,71 @@ def test_onnx_batch2_runtime_gate(tmp_path, monkeypatch, reference):
     assert os.path.exists(onnx_path + ".failed")
 
 
+@pytest.mark.parametrize("family", ["v5", "v7"])
+def test_torchscript_trace_replay_gate(tmp_path, reference, family):
+    """The reference's traced-TorchScript artifact (base_trainer.py:49-79)
+    under this package's replay contract: run_export saves the trace, loads
+    it FROM DISK, and replays batch 1 AND batch 2 against the jit forward —
+    both families (v7 in deploy mode, the shape the reference exports)."""
+    import torch
+
+    from vision_kit_tpu.export import TORCH_ATOL, run_export
+
+    if family == "v7":
+        cfg = _cfg(tmp_path, name="YOLOv7", version="base", deploy=True)
+    else:
+        cfg = _cfg(tmp_path)
+    variables = _init_variables(cfg)
+    res = run_export(cfg, variables, str(tmp_path / "weights"),
+                     onnx=False, torchscript=True)
+    assert res.skipped.get("onnx") == "disabled"
+    assert "torchscript" in res.artifacts, res.skipped
+    assert res.checks["torchscript"] <= TORCH_ATOL
+    assert res.checks["torchscript_batch2"] <= TORCH_ATOL
+    # independently reload and replay the artifact like a consumer would
+    m = torch.jit.load(res.artifacts["torchscript"])
+    x = torch.from_numpy(
+        np.random.default_rng(3).random((2, 3, 64, 64), np.float32))
+    with torch.no_grad():
+        out = m(x)
+    assert out.shape[0] == 2 and out.shape[-1] == 3 + 5
+
+
+def test_torchscript_machinery_failure_degrades_in_auto_mode(
+        tmp_path, monkeypatch, reference):
+    """Same graceful-degrade + cleanup contract as the ONNX leg: in "auto"
+    mode a tracer failure skips the leg and removes the partial file;
+    torchscript=True keeps it a hard error. The independent ONNX leg must
+    still produce its artifact either way."""
+    import vision_kit_tpu.interop as interop
+    from vision_kit_tpu.export import run_export
+
+    cfg = _cfg(tmp_path)
+    variables = _init_variables(cfg)
+
+    def boom(torch_model, img_size, path):
+        with open(path, "wb") as f:
+            f.write(b"partial")
+        raise RuntimeError("torch.jit trace skew")
+
+    monkeypatch.setattr(interop, "export_torchscript", boom)
+    res = run_export(cfg, variables, str(tmp_path / "w1"), onnx="auto")
+    assert "torchscript" in res.skipped
+    assert "torchscript" not in res.artifacts
+    assert not os.path.exists(
+        str(tmp_path / "w1" / "yolov5_n.torchscript.pt"))
+    assert "onnx" in res.artifacts  # the sibling leg is unaffected
+
+    with pytest.raises(RuntimeError, match="trace skew"):
+        run_export(cfg, variables, str(tmp_path / "w2"), onnx=False,
+                   torchscript=True)
+
+
 @pytest.mark.slow
 def test_main_cli_export_onnx(tmp_path):
-    """CLI e2e: `main.py export --onnx` writes all five artifacts."""
+    """CLI e2e: `main.py export --onnx --torchscript` writes all six
+    artifacts — a strict superset of the reference's export matrix
+    (scripts/main.py:74-98: ONNX + TorchScript)."""
     cfg_path = str(tmp_path / "cfg.yaml")
     base = yaml.safe_load(open(os.path.join(REPO, "configs/yolov5.yaml")))
     base["model"].update(version="n", num_classes=2, input_size=[64, 64],
@@ -437,7 +499,7 @@ def test_main_cli_export_onnx(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/main.py"), "export",
-         "-c", cfg_path, "--onnx"],
+         "-c", cfg_path, "--onnx", "--torchscript"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
     )
     assert r.returncode == 0, r.stderr[-3000:]
@@ -452,5 +514,7 @@ def test_main_cli_export_onnx(tmp_path):
     assert "yolov5_n.jaxexport" in files
     assert "yolov5_n.onnx" in files
     assert "yolov5_n_savedmodel" in files
+    assert "yolov5_n.torchscript.pt" in files
     log = r.stdout + r.stderr
     assert "exported onnx" in log, log[-2000:]
+    assert "exported torchscript" in log, log[-2000:]

@@ -6,9 +6,11 @@ TPU-native artifacts come first (msgpack weights — round-trip-checked — a
 StableHLO text dump, and a RUNNABLE jax.export serialized program: weights
 embedded, cpu+tpu platforms, reloadable with jax.export.deserialize — the
 TorchScript-trace counterpart), then the interchange artifacts: a TF
-SavedModel (via jax2tf native serialization) and a one-command ONNX file
-driven through the structural weight converter and the original torch
-package (vision_kit_tpu/interop.py).
+SavedModel (via jax2tf native serialization), a one-command ONNX file, and
+the reference's own traced-TorchScript module — the latter two driven
+through the structural weight converter and the original torch package
+(vision_kit_tpu/interop.py), sharing one converted model and one forward
+gate.
 
 Every artifact that can execute here is *numerically compared against the
 jit forward* on a fixed probe input before the export is declared good —
@@ -80,13 +82,16 @@ def _probe_input(size) -> np.ndarray:
 
 
 def run_export(cfg, variables, save_dir: str, onnx: str | bool = "auto",
+               torchscript: str | bool = "auto",
                check: bool = True) -> ExportResult:
     """Write all export artifacts for `cfg`/`variables` into `save_dir`.
 
-    onnx: True (required — raise if the torch package is missing),
-    False (skip), or "auto" (export when torch + the original Vision-Kit
-    package are available). `check=True` raises ExportCheckError on any
-    numeric disagreement; the max deltas are always logged and returned.
+    onnx / torchscript: True (required — raise if the torch package is
+    missing), False (skip), or "auto" (export when torch + the original
+    Vision-Kit package are available). The two legs share one converted
+    torch model and one forward gate. `check=True` raises ExportCheckError
+    on any numeric disagreement; the max deltas are always logged and
+    returned.
     """
     import jax
     import jax.numpy as jnp
@@ -219,47 +224,88 @@ def run_export(cfg, variables, save_dir: str, onnx: str | bool = "auto",
             )
         res.artifacts["savedmodel"] = sm_dir
 
-    # --- ONNX via the structural converter + torch ----------------------
+    # --- torch interchange legs (ONNX + TorchScript) --------------------
     # same contract as the TF leg: in "auto" mode ANY failure of the
-    # machinery (converter strict-load, torch.onnx version skew, proto
-    # validation, a broken local checkout) skips the leg with a warning —
-    # the TPU-native artifacts above were already written and checked.
-    # Only a failed numeric CHECK (ExportCheckError) aborts; onnx=True
-    # turns machinery failures back into hard errors.
+    # machinery (converter strict-load, torch.onnx/torch.jit version skew,
+    # proto validation, a broken local checkout) skips the leg with a
+    # warning — the TPU-native artifacts above were already written and
+    # checked. Only a failed numeric CHECK (ExportCheckError) aborts;
+    # onnx=True / torchscript=True turn machinery failures back into hard
+    # errors. Both legs share ONE converted torch model and ONE forward
+    # gate (the strict-load + parity check is the expensive part).
+    onnx_path = os.path.join(save_dir, stem + ".onnx")
+    ts_path = os.path.join(save_dir, stem + ".torchscript.pt")
     if onnx is False:
         res.skipped["onnx"] = "disabled"
+    if torchscript is False:
+        res.skipped["torchscript"] = "disabled"
+    if onnx is False and torchscript is False:
         return res
-    onnx_path = os.path.join(save_dir, stem + ".onnx")
+
+    gate = None
     try:
-        _onnx_leg(cfg, variables, probe, onnx_path, size, check, res,
-                  build_model)
+        gate = _torch_forward_gate(cfg, variables, probe, check, res,
+                                   build_model)
     except ExportCheckError:
-        # a check failed — possibly BEFORE export_onnx wrote anything (the
-        # torch-forward gate), in which case a stale .onnx from a previous
-        # export into the same save_dir would survive unchecked. Quarantine
-        # it (no-op if the late runtime check already did, or none exists).
+        # the gate failed BEFORE either exporter wrote anything — stale
+        # artifacts from a previous export into the same save_dir would
+        # survive unchecked. Quarantine them.
         _quarantine_artifact(onnx_path)
+        _quarantine_artifact(ts_path)
         res.artifacts.pop("onnx", None)
+        res.artifacts.pop("torchscript", None)
         raise
     except Exception as e:
-        _remove_artifact(onnx_path)
-        if onnx is True:
+        if onnx is True or torchscript is True:
             raise
-        res.skipped["onnx"] = f"onnx leg failed: {e}"
-        logger.warning("ONNX export skipped: %s", e)
+        for kind in ("onnx", "torchscript"):
+            if kind not in res.skipped:
+                res.skipped[kind] = f"torch interop unavailable: {e}"
+        logger.warning("torch interchange legs skipped: %s", e)
+        return res
+    torch_model, fwd_ref_order, jax_decoded = gate
+
+    if onnx is not False:
+        try:
+            _onnx_leg(torch_model, fwd_ref_order, jax_decoded, probe,
+                      onnx_path, size, check, res)
+        except ExportCheckError:
+            _quarantine_artifact(onnx_path)
+            res.artifacts.pop("onnx", None)
+            raise
+        except Exception as e:
+            _remove_artifact(onnx_path)
+            if onnx is True:
+                raise
+            res.skipped["onnx"] = f"onnx leg failed: {e}"
+            logger.warning("ONNX export skipped: %s", e)
+
+    if torchscript is not False:
+        try:
+            _torchscript_leg(torch_model, jax_decoded, fwd_ref_order, probe,
+                             ts_path, size, check, res)
+        except ExportCheckError:
+            _quarantine_artifact(ts_path)
+            res.artifacts.pop("torchscript", None)
+            raise
+        except Exception as e:
+            _remove_artifact(ts_path)
+            if torchscript is True:
+                raise
+            res.skipped["torchscript"] = f"torchscript leg failed: {e}"
+            logger.warning("TorchScript export skipped: %s", e)
     return res
 
 
-def _onnx_leg(cfg, variables, probe, onnx_path, size, check, res,
-              build_model) -> None:
+def _torch_forward_gate(cfg, variables, probe, check, res, build_model):
+    """Build the converted torch model and gate its forward against the jit
+    forward (anchor-major decode — the deployed native layout is a pure
+    permutation of it, models/heads.py decode_order). Shared by the ONNX
+    and TorchScript legs: the graph both serialize is this model's."""
     import jax
     import jax.numpy as jnp
 
-    from vision_kit_tpu.interop import (
-        build_torch_model,
-        export_onnx,
-        verify_onnx_file,
-    )
+    from vision_kit_tpu.interop import build_torch_model
 
     torch_model = build_torch_model(cfg, variables)
     if torch_model is None:
@@ -268,10 +314,6 @@ def _onnx_leg(cfg, variables, probe, onnx_path, size, check, res,
             "(set $VISION_KIT_TORCH_ROOT or pip install the torch package)"
         )
 
-    # numeric check FIRST: the torch graph about to be serialized must
-    # match the jit forward. Compare against a row-aligned (anchor-major)
-    # decode of the same variables — the deployed native layout is a pure
-    # permutation of it (models/heads.py decode_order).
     import torch
 
     ref_order = build_model(cfg, export=True, decode_order="reference")
@@ -287,12 +329,66 @@ def _onnx_leg(cfg, variables, probe, onnx_path, size, check, res,
     t_decoded = t_decoded.numpy()
     delta = float(np.abs(t_decoded - jax_decoded).max())
     res.checks["onnx_torch_forward"] = delta
-    logger.info("ONNX (torch forward) check: max |delta| = %.3e", delta)
+    logger.info("torch forward gate: max |delta| = %.3e", delta)
     if check and delta > TORCH_ATOL:
         raise ExportCheckError(
             f"converted torch forward deviates from jit: {delta:.3e} > "
             f"{TORCH_ATOL}"
         )
+    return torch_model, fwd_ref_order, jax_decoded
+
+
+def _torchscript_leg(torch_model, jax_decoded, fwd_ref_order, probe, ts_path,
+                     size, check, res) -> None:
+    """The reference's traced-TorchScript artifact
+    (/root/reference/vision_kit/core/train/base_trainer.py:49-79, emitted at
+    scripts/main.py:98), with this package's replay contract: the saved
+    ScriptModule is LOADED FROM DISK and replayed at batch 1 and batch 2
+    against the jit forward before the artifact is declared good."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from vision_kit_tpu.interop import export_torchscript
+
+    export_torchscript(torch_model, size, ts_path)
+    replay = torch.jit.load(ts_path)
+    replay.eval()
+    with torch.no_grad():
+        ts_out = replay(torch.from_numpy(probe.transpose(0, 3, 1, 2)))
+    delta = float(np.abs(ts_out.numpy() - jax_decoded).max())
+    res.checks["torchscript"] = delta
+    logger.info("TorchScript replay check: max |delta| = %.3e", delta)
+    if check and delta > TORCH_ATOL:
+        raise ExportCheckError(
+            f"TorchScript replay deviates from jit: {delta:.3e} > "
+            f"{TORCH_ATOL}"
+        )
+
+    # batch-2 replay: the trace's only safe dynamic axis — prove the tracer
+    # didn't bake batch-1 shapes (grids/H/W stay export-size by design)
+    probe2 = np.concatenate([probe, probe[:, :, ::-1, :]], axis=0)
+    jax2 = np.asarray(jax.jit(fwd_ref_order)(jnp.asarray(probe2)))
+    with torch.no_grad():
+        ts2 = replay(torch.from_numpy(probe2.transpose(0, 3, 1, 2)))
+    delta2 = float(np.abs(ts2.numpy() - jax2).max())
+    res.checks["torchscript_batch2"] = delta2
+    logger.info("TorchScript batch-2 check: max |delta| = %.3e", delta2)
+    if check and delta2 > TORCH_ATOL:
+        raise ExportCheckError(
+            f"TorchScript batch-2 replay deviates from jit: {delta2:.3e} > "
+            f"{TORCH_ATOL}"
+        )
+    res.artifacts["torchscript"] = ts_path
+
+
+def _onnx_leg(torch_model, fwd_ref_order, jax_decoded, probe, onnx_path,
+              size, check, res) -> None:
+    """ONNX export of the (already forward-gated) converted torch model."""
+    import jax
+    import jax.numpy as jnp
+
+    from vision_kit_tpu.interop import export_onnx, verify_onnx_file
 
     export_onnx(torch_model, size, onnx_path)
     verify_onnx_file(onnx_path)

@@ -293,6 +293,30 @@ def export_onnx(torch_model, img_size, path: str, opset: int = 13) -> str:
     return path
 
 
+def export_torchscript(torch_model, img_size, path: str) -> str:
+    """torch.jit.trace of the converted torch model — the reference's traced
+    artifact (core/train/base_trainer.py:49-79, emitted by its export task,
+    scripts/main.py:98). Traces the decoded-only wrapper at the export size
+    and saves the ScriptModule.
+
+    Same baked-constant caveat as the ONNX trace (which runs through the
+    same TorchScript tracer): the decode grids are constants at the export
+    resolution, so batch is the only input axis safe to vary at inference;
+    re-trace per resolution. The caller (export.py) replays the saved
+    module from disk at batch 1 AND batch 2 against the jit forward before
+    declaring the artifact good."""
+    import torch
+
+    wrapped = _decoded_only(torch_model)
+    wrapped.eval()
+    h, w = img_size
+    x = torch.zeros(1, 3, h, w)
+    with torch.no_grad():
+        traced = torch.jit.trace(wrapped, x)
+    torch.jit.save(traced, path)
+    return path
+
+
 def simplify_onnx(path: str) -> bool:
     """Reference's onnxsim pass (core/train/base_trainer.py:110-118): run
     onnx-simplifier over the exported proto when the package is importable.
