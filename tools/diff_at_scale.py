@@ -40,6 +40,7 @@ import numpy as np
 
 CONF, IOU = 0.001, 0.6
 MAX_DET, MAX_CAND = 300, 2048
+MULTI_LABEL_TOP = 20
 
 
 def load_val_set(root: str, n: int, img: int):
@@ -94,7 +95,8 @@ def repo_map(variables, images, gts, classes, img, batch, family="v5"):
         decoded, _ = model.apply(v, x, training=False)
         dets, valid = postprocess(
             decoded, conf_thres=CONF, iou_thres=IOU, multi_label=True,
-            max_det=MAX_DET, max_cand=MAX_CAND, multi_label_top=20,
+            max_det=MAX_DET, max_cand=MAX_CAND,
+            multi_label_top=MULTI_LABEL_TOP,
         )
         # premise counters for the fixed-shape caps (ADVICE r4): the repo
         # path is exact only while no image's conf-gated candidate set
@@ -117,9 +119,10 @@ def repo_map(variables, images, gts, classes, img, batch, family="v5"):
             f"conf-gated candidates {n_pairs.max()} > max_cand {MAX_CAND} "
             f"at image {s + int(n_pairs.argmax())} — repo caps truncate; "
             "raise MAX_CAND")
-        assert n_percls.max() <= 20, (
+        assert n_percls.max() <= MULTI_LABEL_TOP, (
             f"{n_percls.max()} above-conf classes on one anchor > "
-            f"multi_label_top 20 at image {s + int(n_percls.argmax())}")
+            f"multi_label_top {MULTI_LABEL_TOP} at image "
+            f"{s + int(n_percls.argmax())}")
         infos = [(img, img, 1.0, (0.0, 0.0), s + k) for k in range(b)]
         ev.update(np.asarray(dets), np.asarray(valid),
                   targets_batch(gts, s, b), infos)
@@ -145,7 +148,11 @@ def reference_map(variables, images, gts, classes, img, batch, family="v5"):
     if family == "v7":
         from vision_kit.models.architectures.yolov7 import YOLOV7 as RefV7
 
-        torch_model = RefV7(variant="base", num_classes=len(classes))
+        # deploy=False: the repo weights are the TRAINING shape (Implicit
+        # ia/im present, RepConv unfused) — the reference defaults to
+        # deploy=True (yolov7.py:23), which would drop those keys
+        torch_model = RefV7(variant="base", num_classes=len(classes),
+                            deploy=False)
     else:
         from vision_kit.models.architectures.yolov5 import YOLOV5 as RefV5
 
@@ -189,6 +196,7 @@ def reference_map(variables, images, gts, classes, img, batch, family="v5"):
 
 
 def main():
+    global MAX_CAND, MULTI_LABEL_TOP
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/vk_scale_ds")
     ap.add_argument("--weights", default=None,
@@ -200,8 +208,15 @@ def main():
     ap.add_argument("--family", default="v5", choices=("v5", "v7"),
                     help="v7 compares YOLOv7-base on the weights trained "
                          "by train_at_scale.py --v7 (VERDICT r4 #3)")
+    ap.add_argument("--max-cand", type=int, default=MAX_CAND,
+                    help="fixed-shape candidate cap; the premise assert "
+                         "fails loudly (instead of silently truncating) "
+                         "when conf-gated candidates exceed it — raise for "
+                         "diffuse partially-trained weights")
+    ap.add_argument("--multi-label-top", type=int, default=MULTI_LABEL_TOP)
     ap.add_argument("--out", default="/tmp/diff_at_scale.json")
     args = ap.parse_args()
+    MAX_CAND, MULTI_LABEL_TOP = args.max_cand, args.multi_label_top
 
     from vision_kit_tpu.utils.jax_platform import (
         honor_platform_env,
