@@ -453,6 +453,34 @@ def test_torchscript_trace_replay_gate(tmp_path, reference, family):
     assert out.shape[0] == 2 and out.shape[-1] == 3 + 5
 
 
+def test_gate_machinery_failure_removes_stale_torch_artifacts(
+        tmp_path, monkeypatch, reference):
+    """When the shared torch gate itself fails (broken checkout, version
+    skew) in auto mode, STALE onnx/torchscript artifacts from a previous
+    export into the same save_dir must not outlive the run unchecked next
+    to the fresh msgpack (round-5 review finding — the no-unchecked-
+    artifact invariant applies to the gate path too)."""
+    import vision_kit_tpu.interop as interop
+    from vision_kit_tpu.export import run_export
+
+    cfg = _cfg(tmp_path)
+    variables = _init_variables(cfg)
+    save = tmp_path / "weights"
+    save.mkdir()
+    (save / "yolov5_n.onnx").write_bytes(b"stale onnx")
+    (save / "yolov5_n.torchscript.pt").write_bytes(b"stale trace")
+
+    monkeypatch.setattr(
+        interop, "build_torch_model",
+        lambda cfg_, vars_, root=None: (_ for _ in ()).throw(
+            RuntimeError("broken checkout")))
+    res = run_export(cfg, variables, str(save), onnx="auto")
+    assert "onnx" in res.skipped and "torchscript" in res.skipped
+    assert not os.path.exists(str(save / "yolov5_n.onnx"))
+    assert not os.path.exists(str(save / "yolov5_n.torchscript.pt"))
+    assert os.path.isfile(res.artifacts["msgpack"])
+
+
 def test_torchscript_machinery_failure_degrades_in_auto_mode(
         tmp_path, monkeypatch, reference):
     """Same graceful-degrade + cleanup contract as the ONNX leg: in "auto"

@@ -75,9 +75,10 @@ class _TimedEvent(threading.Event):
         super().set()
 
 
-def bench_engine(server, n_requests: int, warmup_batches: int = 4):
-    """Feed _Requests directly; measure submit->completion throughput and
-    per-request queue latency (submit -> completion event)."""
+def _request_factory(server):
+    """Timed-_Request factory for the engine-mode benches (shared by the
+    saturating feed and the load curve so the request/warmup contract
+    lives in one place)."""
     from vision_kit_tpu.serve import _Request
 
     h, w = server.img_size
@@ -91,13 +92,24 @@ def bench_engine(server, n_requests: int, warmup_batches: int = 4):
             out.append(r)
         return out
 
-    # warmup (compile + pipeline fill)
+    return make
+
+
+def _warmup(server, make, warmup_batches: int):
+    """Compile + fill the dispatch/readback pipeline before measuring."""
     reqs = make(warmup_batches * server.batch_size)
     for r in reqs:
         server._queue.put(r)
     for r in reqs:
         assert r.event.wait(600), "warmup timed out"
         assert r.error is None, r.error
+
+
+def bench_engine(server, n_requests: int, warmup_batches: int = 4):
+    """Feed _Requests directly; measure submit->completion throughput and
+    per-request queue latency (submit -> completion event)."""
+    make = _request_factory(server)
+    _warmup(server, make, warmup_batches)
 
     reqs = make(n_requests)
     t_submit = {}
@@ -134,26 +146,8 @@ def bench_load_curve(server, capacity_ips: float, fracs, n_requests: int,
 
     Returns [(frac, offered_ips, achieved_ips, p50_ms, p99_ms), ...].
     """
-    from vision_kit_tpu.serve import _Request
-
-    h, w = server.img_size
-    img = np.random.default_rng(0).integers(0, 256, (h, w, 3), np.uint8)
-
-    def make(n):
-        out = []
-        for _ in range(n):
-            r = _Request(img, 1.0, (0.0, 0.0), (h, w), None)
-            r.event = _TimedEvent()
-            out.append(r)
-        return out
-
-    # warmup: compile + fill the dispatch/readback pipeline
-    reqs = make(warmup_batches * server.batch_size)
-    for r in reqs:
-        server._queue.put(r)
-    for r in reqs:
-        assert r.event.wait(600), "warmup timed out"
-        assert r.error is None, r.error
+    make = _request_factory(server)
+    _warmup(server, make, warmup_batches)
 
     rows = []
     for frac in fracs:

@@ -208,6 +208,10 @@ def main():
     ap.add_argument("--family", default="v5", choices=("v5", "v7"),
                     help="v7 compares YOLOv7-base on the weights trained "
                          "by train_at_scale.py --v7 (VERDICT r4 #3)")
+    ap.add_argument("--ota", action="store_true",
+                    help="with --family v7: pick the SimOTA-trained "
+                         "weights dir (train_at_scale.py --v7 --ota -> "
+                         "out_v7ota) instead of out_v7")
     ap.add_argument("--max-cand", type=int, default=MAX_CAND,
                     help="fixed-shape candidate cap; the premise assert "
                          "fails loudly (instead of silently truncating) "
@@ -231,7 +235,8 @@ def main():
 
     weights = args.weights
     if weights is None:
-        out_sub = "out_v7" if args.family == "v7" else "out"
+        out_sub = ("out_v7ota" if args.ota else "out_v7") \
+            if args.family == "v7" else "out"
         cands = glob.glob(os.path.join(
             args.root, out_sub, "weights/best-map50_*.msgpack"))
         assert cands, "no exported weights — run train_at_scale.py first"
@@ -269,6 +274,10 @@ def main():
         "family": args.family,
         "weights": os.path.basename(weights), "images": int(len(images)),
         "img": args.img, "classes": len(CLASSES),
+        # the fixed shapes that produced this delta — required to
+        # reproduce the run (diffuse weights need non-default caps)
+        "max_cand": MAX_CAND, "multi_label_top": MULTI_LABEL_TOP,
+        "batch": args.batch,
         "repo_map50": round(repo["map50"], 5),
         "repo_map50_95": round(repo["map50_95"], 5),
         "ref_map50": round(ref50, 5), "ref_map50_95": round(ref95, 5),

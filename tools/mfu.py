@@ -179,12 +179,14 @@ def main():
                     help="annotate a tools/bench_zoo.py result file with "
                          "per-variant MFU (writes back + prints a table)")
     ap.add_argument("--train-family", default="v5", choices=("v5", "v7"))
-    ap.add_argument("--train-variant", default="s",
+    ap.add_argument("--train-variant", default=None,
                     help="variant for the train-MFU row (v5 n/s/m/l/x, "
-                         "v7 base/x)")
+                         "v7 base/x; default: s / base by family)")
     ap.add_argument("--train-ota", action="store_true",
                     help="train row uses the SimOTA loss program")
     args = ap.parse_args()
+    if args.train_variant is None:
+        args.train_variant = "base" if args.train_family == "v7" else "s"
 
     _deregister_axon()
 

@@ -176,14 +176,21 @@ def main():
     from vision_kit_tpu.utils.general import update_loss_cfg
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(args.root, "out" + ("_v7" if args.v7 else ""))
+    # distinct dirs per regime so --v7 and --v7 --ota can't overwrite each
+    # other's checkpoints (diff_at_scale picks weights by max mAP in-dir)
+    out_dir = os.path.join(
+        args.root,
+        "out" + ("_v7ota" if args.ota else "_v7" if args.v7 else ""))
     cfg_name = "yolov7.yaml" if args.v7 else "yolov5.yaml"
     cfg = yaml.safe_load(open(os.path.join(repo, "configs", cfg_name)))
     cfg["model"].update(version="base" if args.v7 else "s",
                         num_classes=len(CLASSES),
                         input_size=[args.img, args.img], weight="")
-    if args.ota:
-        cfg["hypermeters"]["loss_ota"] = 1
+    if args.v7:
+        # set BOTH ways: configs/yolov7.yaml defaults loss_ota: 1, so a
+        # plain --v7 run must clear it or the --ota flag is a no-op and
+        # the payload's model label misreports the loss actually used
+        cfg["hypermeters"]["loss_ota"] = 1 if args.ota else 0
     cfg["data"].update(
         data_format="yolo", data_dir=args.root, output_dir=out_dir,
         train_path="images/train", val_path="images/val",

@@ -256,6 +256,14 @@ def run_export(cfg, variables, save_dir: str, onnx: str | bool = "auto",
         res.artifacts.pop("torchscript", None)
         raise
     except Exception as e:
+        # no-unchecked-artifact invariant: a STALE artifact from a previous
+        # export into the same save_dir would otherwise outlive this run
+        # unchecked next to the fresh msgpack (a deploy glob would ship a
+        # model diverging from the trained weights)
+        if onnx is not False:
+            _remove_artifact(onnx_path)
+        if torchscript is not False:
+            _remove_artifact(ts_path)
         if onnx is True or torchscript is True:
             raise
         for kind in ("onnx", "torchscript"):
