@@ -135,6 +135,45 @@ class _CurveHandler(logging.Handler):
                 pass
 
 
+def build_cfg(args, repo: str):
+    """Resolve the run config dict + output dir from the CLI args.
+
+    Factored out so the flag semantics are testable without a chip
+    (tests/test_round5.py): `--v7` must CLEAR loss_ota (configs/yolov7.yaml
+    defaults it to 1 — otherwise --ota is a no-op and the payload's model
+    label misreports the loss actually used), `--ota` must set it, and the
+    two regimes must write DISTINCT output dirs so their checkpoints can't
+    overwrite each other (diff_at_scale picks weights by max mAP in-dir).
+    """
+    import yaml
+
+    out_dir = os.path.join(
+        args.root,
+        "out" + ("_v7ota" if args.ota else "_v7" if args.v7 else ""))
+    cfg_name = "yolov7.yaml" if args.v7 else "yolov5.yaml"
+    cfg = yaml.safe_load(open(os.path.join(repo, "configs", cfg_name)))
+    cfg["model"].update(version="base" if args.v7 else "s",
+                        num_classes=len(CLASSES),
+                        input_size=[args.img, args.img], weight="")
+    if args.v7:
+        cfg["hypermeters"]["loss_ota"] = 1 if args.ota else 0
+    cfg["data"].update(
+        data_format="yolo", data_dir=args.root, output_dir=out_dir,
+        train_path="images/train", val_path="images/val",
+        test_path="images/val", batch_size=args.batch,
+        max_epochs=args.epochs, num_workers=args.workers,
+        class_labels=CLASSES, ckpt_interval=1,
+    )
+    if not args.no_cache:
+        cfg["data"]["cache_images"] = "disk"
+    if not args.no_device_aug:
+        cfg["data"]["device_aug"] = True
+        # device_aug requires degrees=0/shear=0 (data/device_aug.py)
+        cfg["augmentations"].update(degrees=0.0, shear=0.0)
+    cfg["testing"]["val_interval"] = 1
+    return cfg, out_dir
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/vk_scale_ds")
@@ -176,35 +215,7 @@ def main():
     from vision_kit_tpu.utils.general import update_loss_cfg
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # distinct dirs per regime so --v7 and --v7 --ota can't overwrite each
-    # other's checkpoints (diff_at_scale picks weights by max mAP in-dir)
-    out_dir = os.path.join(
-        args.root,
-        "out" + ("_v7ota" if args.ota else "_v7" if args.v7 else ""))
-    cfg_name = "yolov7.yaml" if args.v7 else "yolov5.yaml"
-    cfg = yaml.safe_load(open(os.path.join(repo, "configs", cfg_name)))
-    cfg["model"].update(version="base" if args.v7 else "s",
-                        num_classes=len(CLASSES),
-                        input_size=[args.img, args.img], weight="")
-    if args.v7:
-        # set BOTH ways: configs/yolov7.yaml defaults loss_ota: 1, so a
-        # plain --v7 run must clear it or the --ota flag is a no-op and
-        # the payload's model label misreports the loss actually used
-        cfg["hypermeters"]["loss_ota"] = 1 if args.ota else 0
-    cfg["data"].update(
-        data_format="yolo", data_dir=args.root, output_dir=out_dir,
-        train_path="images/train", val_path="images/val",
-        test_path="images/val", batch_size=args.batch,
-        max_epochs=args.epochs, num_workers=args.workers,
-        class_labels=CLASSES, ckpt_interval=1,
-    )
-    if not args.no_cache:
-        cfg["data"]["cache_images"] = "disk"
-    if not args.no_device_aug:
-        cfg["data"]["device_aug"] = True
-        # device_aug requires degrees=0/shear=0 (data/device_aug.py)
-        cfg["augmentations"].update(degrees=0.0, shear=0.0)
-    cfg["testing"]["val_interval"] = 1
+    cfg, out_dir = build_cfg(args, repo)
     cfg_path = os.path.join(args.root, "cfg.yaml")
     yaml.safe_dump(cfg, open(cfg_path, "w"))
     c = update_loss_cfg(load_config(cfg_path))
