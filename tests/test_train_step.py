@@ -233,3 +233,40 @@ def test_remat_matches_plain():
     l2 = jax.tree_util.tree_leaves(s2.params)[3]
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5,
                                atol=1e-7)
+
+
+def test_spatial_partition_ota_matches_single_device():
+    """dp x sp composed with the SimOTA loss: the step re-gathers the head
+    maps to batch-only sharding before the loss (make_train_step), so OTA's
+    gather/argmin assignment must see whole maps and reproduce the
+    single-device update under height sharding — the v7-family large-image
+    scaling configuration (round 5; the dense-loss twin is
+    test_spatial_partition_matches_single_device)."""
+    from vision_kit_tpu.parallel.mesh import spatial_sharding
+    from vision_kit_tpu.train.ota import YoloLossOTA
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    model, _, tx, state, batch = _setup(batch=4, img=128)
+    loss = YoloLossOTA(7, model.grid_anchors, HYP, layout="native")
+
+    step_single = make_train_step(model, loss, tx, donate=False)
+    s1, m1 = step_single(state, batch)
+
+    step_sp = make_train_step(
+        model, loss, tx, mesh=mesh, donate=False, spatial=True
+    )
+    sharded = {
+        "image": jax.device_put(batch["image"], spatial_sharding(mesh)),
+        "targets": jax.device_put(
+            batch["targets"], jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("data"))
+        ),
+    }
+    s2, m2 = step_sp(jax.device_put(state, replicated_sharding(mesh)),
+                     sharded)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    l1 = jax.tree_util.tree_leaves(s1.params)[3]
+    l2 = jax.tree_util.tree_leaves(s2.params)[3]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4,
+                               atol=1e-6)
