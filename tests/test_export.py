@@ -481,6 +481,50 @@ def test_gate_machinery_failure_removes_stale_torch_artifacts(
     assert os.path.isfile(res.artifacts["msgpack"])
 
 
+def test_onnx_check_failure_quarantines_stale_torchscript(
+        tmp_path, monkeypatch, reference):
+    """An ONNX numeric-check abort fires BEFORE the TorchScript leg runs;
+    a stale trace from a previous export must not survive that abort
+    unchecked (round-5 high-effort review finding — the per-leg abort
+    paths share the gate path's no-unchecked-artifact invariant)."""
+    import types
+
+    import torch
+
+    import vision_kit_tpu.interop as interop
+    from vision_kit_tpu.export import ExportCheckError, run_export
+
+    cfg = _cfg(tmp_path)
+    variables = _init_variables(cfg)
+    tm = interop.build_torch_model(cfg, variables)
+    save = tmp_path / "weights"
+    save.mkdir()
+    stale_ts = save / "yolov5_n.torchscript.pt"
+    stale_ts.write_bytes(b"stale trace from a previous export")
+
+    class FakeSession:  # passes batch 1, garbage at batch 2 -> check fails
+        def __init__(self, path, *a, **k):
+            pass
+
+        def run(self, outputs, feeds):
+            x = torch.from_numpy(feeds["images"])
+            if x.shape[0] > 1:
+                return [np.zeros((x.shape[0], 1, 1), np.float32)]
+            with torch.no_grad():
+                out = tm(x)
+            return [(out[0] if isinstance(out, (tuple, list)) else out)
+                    .numpy()]
+
+    fake_ort = types.ModuleType("onnxruntime")
+    fake_ort.InferenceSession = FakeSession
+    monkeypatch.setitem(sys.modules, "onnxruntime", fake_ort)
+
+    with pytest.raises(ExportCheckError, match="batch-2"):
+        run_export(cfg, variables, str(save), onnx=True, torchscript="auto")
+    assert not stale_ts.exists()
+    assert (save / "yolov5_n.torchscript.pt.failed").exists()
+
+
 def test_torchscript_machinery_failure_degrades_in_auto_mode(
         tmp_path, monkeypatch, reference):
     """Same graceful-degrade + cleanup contract as the ONNX leg: in "auto"

@@ -220,6 +220,8 @@ def main():
     ap.add_argument("--multi-label-top", type=int, default=MULTI_LABEL_TOP)
     ap.add_argument("--out", default="/tmp/diff_at_scale.json")
     args = ap.parse_args()
+    if args.ota:
+        args.family = "v7"  # mirror train_at_scale.py: --ota implies v7
     MAX_CAND, MULTI_LABEL_TOP = args.max_cand, args.multi_label_top
 
     from vision_kit_tpu.utils.jax_platform import (

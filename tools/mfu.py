@@ -87,11 +87,15 @@ def infer_flops_per_image(batch: int, family: str = "v5",
 
 
 def train_flops_per_image(batch: int, family: str = "v5",
-                          variant: str = "s", ota: bool = False) -> float:
+                          variant: str | None = None,
+                          ota: bool = False) -> float:
     """FLOPs/img of the bench_train.py-protocol train step (@640 bf16
     compute, YoloLoss or SimOTA, SGD + EMA). MFU numerators use the plain
     (no remat/accum) program — the standard model-FLOPs convention: remat
-    recompute is overhead, not model work."""
+    recompute is overhead, not model work. variant=None resolves the
+    family-appropriate default ("s" / "base") — "s" is not a v7 variant."""
+    if variant is None:
+        variant = "base" if family == "v7" else "s"
     import jax
     import jax.numpy as jnp
 
@@ -185,8 +189,6 @@ def main():
     ap.add_argument("--train-ota", action="store_true",
                     help="train row uses the SimOTA loss program")
     args = ap.parse_args()
-    if args.train_variant is None:
-        args.train_variant = "base" if args.train_family == "v7" else "s"
 
     _deregister_axon()
 
@@ -199,7 +201,9 @@ def main():
     rows.append(("inference (bench.py b128 protocol)", fi, args.infer_ips))
     ft = train_flops_per_image(args.batch, family=args.train_family,
                                variant=args.train_variant, ota=args.train_ota)
-    tname = (f"train step ({args.train_family}-{args.train_variant}"
+    shown_variant = args.train_variant or (
+        "base" if args.train_family == "v7" else "s")
+    tname = (f"train step ({args.train_family}-{shown_variant}"
              f"{'+ota' if args.train_ota else ''})")
     rows.append((tname, ft, args.train_ips))
     if args.v7_ips:

@@ -280,10 +280,17 @@ def run_export(cfg, variables, save_dir: str, onnx: str | bool = "auto",
         except ExportCheckError:
             _quarantine_artifact(onnx_path)
             res.artifacts.pop("onnx", None)
+            # aborting BEFORE the TorchScript leg runs: a stale trace from
+            # a previous export would otherwise survive unchecked
+            if torchscript is not False:
+                _quarantine_artifact(ts_path)
+                res.artifacts.pop("torchscript", None)
             raise
         except Exception as e:
             _remove_artifact(onnx_path)
             if onnx is True:
+                if torchscript is not False:
+                    _remove_artifact(ts_path)
                 raise
             res.skipped["onnx"] = f"onnx leg failed: {e}"
             logger.warning("ONNX export skipped: %s", e)
